@@ -1,0 +1,98 @@
+"""Top-level user API.
+
+``match(text, pattern, algo=...)`` is the single-device entry point
+(SURVEY.md §3.2); ``match_distributed`` shards the text over a device mesh
+with halo overlap (SURVEY.md §3.3).  Matchers are cached per
+(algo, pattern, config) so repeated calls hit XLA's compilation cache.
+"""
+
+from __future__ import annotations
+
+from .models.base import Matcher, MatchResult
+from .models.multi import RabinKarpMultiMatcher
+from .models.registry import available_algorithms, get_matcher
+from .utils.config import DEFAULT_CONFIG, MatchConfig
+
+_matcher_cache: dict = {}
+
+
+def _get_cached_matcher(algo: str, pattern: bytes, config: MatchConfig) -> Matcher:
+    key = (algo, pattern, config)
+    m = _matcher_cache.get(key)
+    if m is None:
+        m = get_matcher(algo)(pattern, config)
+        _matcher_cache[key] = m
+    return m
+
+
+def _coerce_pattern(pattern) -> bytes:
+    if isinstance(pattern, str):
+        return pattern.encode("utf-8")
+    return bytes(pattern)
+
+
+def match(
+    text,
+    pattern,
+    algo: str = "boyer_moore",
+    config: MatchConfig | None = None,
+    **overrides,
+):
+    """Exact match: all (overlapping) occurrences as sorted 0-based offsets.
+
+    ``pattern`` may be bytes/str, or a list of them — a list dispatches to
+    the multi-pattern path (shared Rabin-Karp hash pass for equal-length
+    groups when ``algo`` is 'rabin_karp'; otherwise one run per pattern) and
+    returns a list of MatchResult in input order.
+    """
+    cfg = (config or DEFAULT_CONFIG).replace(**overrides) if overrides else (
+        config or DEFAULT_CONFIG
+    )
+    if isinstance(pattern, (list, tuple)):
+        return _match_many(text, [_coerce_pattern(p) for p in pattern], algo, cfg)
+    return _get_cached_matcher(algo, _coerce_pattern(pattern), cfg).match(text)
+
+
+def _match_many(text, patterns: list[bytes], algo: str, cfg: MatchConfig):
+    if get_matcher(algo).name == "rabin_karp":
+        # Group equal-length patterns into shared-hash-pass matchers.
+        by_len: dict[int, list[int]] = {}
+        for i, p in enumerate(patterns):
+            by_len.setdefault(len(p), []).append(i)
+        results: list[MatchResult | None] = [None] * len(patterns)
+        for idxs in by_len.values():
+            group = [patterns[i] for i in idxs]
+            if len(group) == 1:
+                results[idxs[0]] = _get_cached_matcher(algo, group[0], cfg).match(text)
+            else:
+                for i, r in zip(idxs, RabinKarpMultiMatcher(group, cfg).match(text)):
+                    results[i] = r
+        return results
+    return [_get_cached_matcher(algo, p, cfg).match(text) for p in patterns]
+
+
+def match_distributed(
+    text,
+    pattern,
+    algo: str = "boyer_moore",
+    config: MatchConfig | None = None,
+    mesh=None,
+    **overrides,
+):
+    """Mesh-sharded match (data-parallel with (m-1)-byte halos).  See
+    parallel/dist.py for the decomposition."""
+    from .parallel.dist import DistributedMatcher
+
+    cfg = (config or DEFAULT_CONFIG).replace(**overrides) if overrides else (
+        config or DEFAULT_CONFIG
+    )
+    dm = DistributedMatcher(_coerce_pattern(pattern), algo=algo, config=cfg, mesh=mesh)
+    return dm.match(text)
+
+
+__all__ = [
+    "match",
+    "match_distributed",
+    "MatchResult",
+    "available_algorithms",
+]

@@ -1,0 +1,114 @@
+"""Matcher model base: pattern precompute + jitted device execution + results.
+
+This layer plays the role of the reference's per-algorithm host driver
+(SURVEY.md component R5) — but where the OpenCL driver hand-manages contexts,
+queues, buffers and NDRange launches, here XLA/PJRT does all of that: a
+matcher is (host-side table precompute) + (one jitted function from byte
+tensors to fixed-capacity match results).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import emit
+from ..utils.config import DEFAULT_CONFIG, MatchConfig
+from ..utils.io import as_byte_array, pad_to_multiple
+
+
+@dataclasses.dataclass
+class MatchResult:
+    """Host-facing result: exact count and sorted 0-based byte offsets.
+
+    ``offsets`` is trimmed to the real matches (overlapping occurrences
+    included).  If ``overflow`` is True the offset buffer capacity was
+    exceeded: ``count`` is still exact but ``offsets`` holds only the first
+    ``capacity`` offsets.
+    """
+
+    algo: str
+    pattern: bytes
+    n: int
+    count: int
+    offsets: np.ndarray
+    overflow: bool
+
+    def offsets_list(self) -> list[int]:
+        return [int(x) for x in self.offsets]
+
+
+class Matcher:
+    """Base matcher: subclass with ``name``, ``_precompute`` and ``_mask``."""
+
+    name = "base"
+
+    def __init__(self, pattern: bytes, config: MatchConfig = DEFAULT_CONFIG):
+        if len(pattern) == 0:
+            raise ValueError("empty pattern")
+        self.pattern_bytes = bytes(pattern)
+        self.m = len(pattern)
+        self.config = config
+        pat = np.frombuffer(self.pattern_bytes, dtype=np.uint8)
+        self.pattern_arr = pat
+        self.tables = self._precompute(pat)
+
+    # -- subclass hooks -----------------------------------------------------
+
+    def _precompute(self, pat: np.ndarray) -> dict:
+        """Host-side table precompute; returns a dict of numpy arrays that is
+        passed into the jitted function as a pytree (so matchers with the
+        same pattern length share one compiled executable)."""
+        return {}
+
+    @staticmethod
+    def _mask(text, pattern, tables, config: MatchConfig):
+        """Traced start-mask computation; must be overridden."""
+        raise NotImplementedError
+
+    # -- execution ----------------------------------------------------------
+
+    _jit_cache: dict = {}
+
+    @classmethod
+    def _runner(cls, config: MatchConfig):
+        key = (cls, config)
+        fn = Matcher._jit_cache.get(key)
+        if fn is None:
+
+            def run(text, n, pattern, tables):
+                mask = cls._mask(text, pattern, tables, config)
+                mask = emit.valid_start_mask(mask, n, pattern.shape[0])
+                return emit.mask_to_matches(mask, config.capacity)
+
+            fn = jax.jit(run)
+            Matcher._jit_cache[key] = fn
+        return fn
+
+    def start_mask(self, text: jnp.ndarray) -> jnp.ndarray:
+        """Raw traced mask (testing hook) — no validity trimming."""
+        return type(self)._mask(
+            text, jnp.asarray(self.pattern_arr), jax.tree.map(jnp.asarray, self.tables), self.config
+        )
+
+    def match(self, data) -> MatchResult:
+        arr = as_byte_array(data)
+        n = len(arr)
+        padded = pad_to_multiple(arr, self.config.pad_multiple)
+        count, offsets, overflow = self._runner(self.config)(
+            jnp.asarray(padded), jnp.int32(n), jnp.asarray(self.pattern_arr), self.tables
+        )
+        count = int(count)
+        kept = min(count, self.config.capacity)
+        return MatchResult(
+            algo=self.name,
+            pattern=self.pattern_bytes,
+            n=n,
+            count=count,
+            offsets=np.asarray(offsets)[:kept],
+            overflow=bool(overflow),
+        )

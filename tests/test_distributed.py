@@ -1,0 +1,83 @@
+"""Distributed (shard_map) parity tests on the forced-8-device CPU mesh
+(SURVEY.md §4.5): halo correctness at shard seams, psum/all_gather merge."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+from conformance.oracle import find_all
+
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu import (
+    MatchConfig,
+    match_distributed,
+)
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel import (
+    make_data_mesh,
+)
+
+ALGOS = ["naive", "rabin_karp", "kmp", "boyer_moore"]
+CFG = MatchConfig(capacity=1024, verify_capacity=1024, kmp_chunk=64, bm_chunk=64,
+                  pad_multiple=64)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_dist_parity_random(algo):
+    rng = np.random.default_rng(42)
+    alpha = np.frombuffer(b"ab", dtype=np.uint8)
+    text = rng.choice(alpha, size=3000).tobytes()
+    pattern = b"abba"
+    res = match_distributed(text, pattern, algo=algo, config=CFG)
+    assert res.count == len(find_all(text, pattern))
+    assert res.offsets_list() == find_all(text, pattern)
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_dist_shard_seam_matches(algo):
+    # 8 shards; text padded to multiple of 64*8=512 -> shard size depends on
+    # padded length.  Plant matches straddling every shard boundary.
+    mesh = make_data_mesh()
+    d = len(jax.devices())
+    n = 4096  # padded shard size = 512 per device
+    shard = n // d
+    m = 6
+    pattern = b"QWERTY"
+    text = bytearray(b"." * n)
+    planted = []
+    for b in range(1, d):
+        s = b * shard - 3  # straddles the seam
+        text[s : s + m] = pattern
+        planted.append(s)
+    # also at the very start and very end
+    text[0:m] = pattern
+    text[n - m :] = pattern
+    planted = [0] + planted + [n - m]
+    text = bytes(text)
+    want = find_all(text, pattern)
+    assert want == sorted(planted)
+    res = match_distributed(text, pattern, algo=algo, config=CFG, mesh=mesh)
+    assert res.offsets_list() == want
+    assert res.count == len(want)
+
+
+def test_dist_unpadded_length_and_tail():
+    # Text length not divisible by the shard count; match at the very tail.
+    pattern = b"zz"
+    text = b"a" * 1001 + b"zz"
+    res = match_distributed(text, pattern, algo="naive", config=CFG)
+    assert res.offsets_list() == [1001]
+
+
+def test_dist_overlapping_across_seams():
+    # Periodic pattern overlapping across everything.
+    text = b"a" * 2048
+    res = match_distributed(text, b"aaaa", algo="kmp", config=CFG.replace(capacity=4096))
+    want = find_all(text, b"aaaa")
+    assert res.count == len(want)
+    assert res.offsets_list() == want

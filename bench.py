@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness: bytes/s/chip per algorithm (BASELINE.json:2).
+
+Prints ONE final JSON line to stdout:
+    {"metric": "...", "value": N, "unit": "bytes/s/chip", "vs_baseline": N}
+
+The headline metric is Boyer-Moore bytes/s/chip; ``vs_baseline`` is the ratio
+against the driver-set 10 GB/s/chip target (BASELINE.json:5 — the reference
+itself published no numbers, BASELINE.json:13).  Per-algorithm detail rows go
+to stderr and to BENCH_DETAIL.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.registry import (
+        get_matcher,
+    )
+
+    matcher = get_matcher(algo)(pattern, cfg)
+    runner = matcher._runner(cfg)
+    text_dev = jax.device_put(jnp.asarray(text_np))
+    pat_dev = jax.device_put(jnp.asarray(matcher.pattern_arr))
+    tables_dev = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a)), matcher.tables)
+    n_dev = jnp.int32(n)
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    count, offs, ovf = runner(text_dev, n_dev, pat_dev, tables_dev)
+    count.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        count, offs, ovf = runner(text_dev, n_dev, pat_dev, tables_dev)
+        count.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "algo": algo,
+        "n_bytes": n,
+        "wall_s": best,
+        "bytes_per_s_per_chip": n / best,
+        "compile_s": compile_s,
+        "match_count": int(count),
+        "iters": iters,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=256, help="corpus size in MiB")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--algos", default="naive,rabin_karp,kmp,boyer_moore")
+    ap.add_argument("--corpus", default="english")
+    ap.add_argument("--pattern", default="quick brown fox ")
+    ap.add_argument("--headline", default="boyer_moore")
+    args = ap.parse_args()
+
+    import jax
+
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+        MatchConfig,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+        GENERATORS,
+        pad_to_multiple,
+    )
+
+    n = args.mb * (1 << 20)
+    print(f"generating {args.mb} MiB {args.corpus} corpus ...", file=sys.stderr)
+    text = GENERATORS[args.corpus](n, seed=42)
+    text_np = pad_to_multiple(np.frombuffer(text, dtype=np.uint8), 1024)
+    pattern = args.pattern.encode()
+    cfg = MatchConfig()
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} / {dev.device_kind}", file=sys.stderr)
+
+    TARGET = 10e9  # BM ≥ 10 GB/s/chip, BASELINE.json:5
+    results = {}
+    for algo in args.algos.split(","):
+        r = bench_algo(algo, text_np, n, pattern, args.iters, cfg)
+        results[algo] = r
+        print(
+            f"  {algo:12s} {r['bytes_per_s_per_chip'] / 1e9:8.2f} GB/s/chip  "
+            f"(best of {args.iters}, {r['wall_s'] * 1e3:.1f} ms, "
+            f"count={r['match_count']}, compile {r['compile_s']:.1f}s)",
+            file=sys.stderr,
+        )
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(
+            {"device": f"{dev.platform}/{dev.device_kind}", "results": results},
+            f,
+            indent=2,
+        )
+
+    head = results.get(args.headline) or results[args.algos.split(",")[-1]]
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.headline} bytes/s/chip ({args.corpus} "
+                f"{args.mb}MiB, m={len(pattern)})",
+                "value": round(head["bytes_per_s_per_chip"], 1),
+                "unit": "bytes/s/chip",
+                "vs_baseline": round(head["bytes_per_s_per_chip"] / TARGET, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

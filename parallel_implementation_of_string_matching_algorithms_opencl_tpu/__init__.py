@@ -26,6 +26,7 @@ fixed-capacity ``all_gather`` (BASELINE.json:5).
 from .api import match, match_distributed, MatchResult, available_algorithms
 from .models.base import Matcher
 from .models.registry import get_matcher, register_matcher
+from .parallel.streaming import match_stream
 from .utils.config import MatchConfig
 
 __version__ = "0.1.0"
@@ -33,6 +34,7 @@ __version__ = "0.1.0"
 __all__ = [
     "match",
     "match_distributed",
+    "match_stream",
     "MatchResult",
     "Matcher",
     "MatchConfig",

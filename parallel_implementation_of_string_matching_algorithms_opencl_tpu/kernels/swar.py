@@ -1,0 +1,378 @@
+"""SWAR Pallas kernels: word-packed exact matching scans (SURVEY.md R1/R4).
+
+Hardware constraints that shaped this design (measured on TPU v5e):
+
+- Mosaic has **no int8 vector compare** on this target, so byte-at-a-time
+  compares cannot compile.  Text is therefore processed as little-endian
+  int32 *words* (4 bytes per lane element) — the classic SWAR technique —
+  which is also ~4x fewer vector ops than a byte scan.
+- The VPU register is (8, 128) int32, so predication (skip) granularity is
+  one register = 4 KiB of packed text; finer skips cannot pay.
+
+Layout: the padded text (N bytes, N % (128*C) == 0) is viewed as int32 and
+reshaped to (L, W): row l holds chunk l's C bytes as W = C/4 words.  A grid
+step processes a (128, W) tile — 128 chunks — plus a (128, HALO_WORDS) halo
+holding the first 512 bytes of each *next* chunk, so matches spanning chunk
+boundaries are found by the owning chunk (supports m <= 509).
+
+Matching per word: for each alignment a in 0..3, a match starting at byte
+4w + a of a chunk satisfies
+
+    AND_k  (ext[w + k] & M[a, k]) == P[a, k]          k in [0, nw)
+
+where P[a]/M[a] are the pattern placed at byte offset a in a zeroed word
+buffer and its 0xFF byte-occupancy mask (wildcard bytes compare as true).
+Interior words have an all-ones mask and skip the AND.
+
+Two kernels share this machinery:
+
+- ``naive_mask``   — every position verified (the honest O(n*m) scan, R1).
+- ``screened_mask``— Boyer-Moore-style: a cheap probe-word screen over the
+  whole tile, then a ``pl.when``-predicated full verify per (8, 128)-word
+  sub-block (16 KiB of text).  Sub-blocks with no probe hit skip the m-loop
+  entirely — the TPU-native translation of BM's skip loop, with the same
+  character: sublinear work on unfavorable-probe-free data, naive-equivalent
+  worst case (R4, BASELINE.json:5 "skip-loop for BM").
+
+Both emit a *nibble mask*: int32[L, W] whose bit a of word w flags a match
+starting at byte 4w+a — one output byte per text byte, decoded outside the
+kernel (``nibble_to_bool``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO_WORDS = 128          # 512-byte halo per chunk
+MAX_PATTERN = HALO_WORDS * 4 - 3  # 509
+DEFAULT_CHUNK_BYTES = 8192  # C: bytes per chunk (VMEM-tuned on v5e)
+MIN_KERNEL_BYTES = 1 << 20  # below this the jnp path wins (compile+pad cost)
+
+
+def swar_supported(m: int, interpret: bool) -> bool:
+    """Kernel path eligibility (platform checked separately)."""
+    del interpret
+    return 1 <= m <= MAX_PATTERN
+
+
+def mask_words(m: int) -> np.ndarray:
+    """int32[4, nw] byte-occupancy masks — a function of m alone, so it is
+    concrete at trace time and its structure can be baked into the kernel."""
+    nw = (3 + m + 3) // 4
+    M = np.zeros((4, nw), dtype=np.uint32)
+    for a in range(4):
+        msk = np.zeros(nw * 4, dtype=np.uint8)
+        msk[a : a + m] = 0xFF
+        M[a] = msk.view(np.uint32)
+    return M.view(np.int32)
+
+
+def pattern_words(pattern: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(P, M) int32[4, nw]: word/mask variants for byte alignments 0..3.
+
+    nw = number of words the pattern can touch in the worst alignment.
+    Little-endian packing to match the device's uint8->int32 bitcast.
+    """
+    pat = np.asarray(pattern, dtype=np.uint8)
+    m = len(pat)
+    nw = (3 + m + 3) // 4
+    P = np.zeros((4, nw), dtype=np.uint32)
+    for a in range(4):
+        buf = np.zeros(nw * 4, dtype=np.uint8)
+        buf[a : a + m] = pat
+        P[a] = buf.view(np.uint32)
+    return P.view(np.int32), mask_words(m)
+
+
+def _probe_indices(M: np.ndarray) -> list[int]:
+    """Per-alignment probe word index for the screen: prefer an interior
+    (all-ones-mask) word — mask-free compare and 4 fully-constrained bytes."""
+    out = []
+    for a in range(4):
+        full = np.nonzero(M[a] == -1)[0]
+        out.append(int(full[0]) if len(full) else 0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _compare_chain(ext, a, W, P, M, Mnp):
+    """AND-chain of word compares for alignment ``a`` over ``ext`` lane
+    offsets [k, k+W); P/M are SMEM refs, Mnp the host-side mask copy (used
+    to skip identity ANDs on interior words at trace time)."""
+    nw = Mnp.shape[1]
+    acc = None
+    for k in range(nw):
+        if Mnp[a, k] == 0:
+            continue  # pattern does not touch this word at this alignment
+        w = ext[:, k : k + W]
+        if Mnp[a, k] == -1:
+            eq = w == P[a, k]
+        else:
+            eq = (w & M[a, k]) == P[a, k]
+        acc = eq if acc is None else (acc & eq)
+    return acc
+
+
+def _validity_nibble(nib, nlim_words, i, W, C):
+    """Clear nibble bits for start positions beyond n-m (padding tail).
+
+    ``nlim_words`` = n - m (max valid start).  Word (row r, lane w) of grid
+    step i covers byte positions base + [0, 4); keep bit a iff pos+a <= nlim.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, nib.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, nib.shape, 1)
+    word_pos = (i * 128 + row) * C + col * 4
+    keep = jnp.clip(nlim_words - word_pos + 1, 0, 4)
+    return nib & ((1 << keep) - 1)
+
+
+def _popcount_nibble(nib):
+    b = (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1)
+    return jnp.sum(b, dtype=jnp.int32)
+
+
+# Above this nw, the naive kernel's AND chain runs as a fori_loop (constant
+# IR size, bounded VMEM stack) instead of a static unroll: Mosaic allocates
+# full-tile temporaries per unrolled compare, which OOMs scoped VMEM for
+# larger patterns and blows up compile time.
+STATIC_NW = 5
+
+
+def _loop_chain(ext_ref, rows, a, W, nw, P_ref, M_ref):
+    """AND-chain over k in [0, nw) as a fori_loop with dynamic lane slices.
+    Always applies the mask AND (identity for interior words)."""
+
+    def body(k, acc):
+        w = ext_ref[rows, pl.ds(k, W)]
+        return acc & ((w & M_ref[a, k]) == P_ref[a, k])
+
+    w0 = ext_ref[rows, pl.ds(0, W)]
+    acc0 = (w0 & M_ref[a, 0]) == P_ref[a, 0]
+    return jax.lax.fori_loop(1, nw, body, acc0)
+
+
+def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
+                  ext_ref, *, W, C, m, Mnp):
+    ext_ref[:, :W] = x_ref[:]
+    ext_ref[:, W:] = h_ref[:]
+    nw = Mnp.shape[1]
+    nib = jnp.zeros((128, W), jnp.int32)
+    rows = pl.ds(0, 128)
+    for a in range(4):
+        if nw <= STATIC_NW:
+            acc = _compare_chain(ext_ref[:], a, W, P_ref, M_ref, Mnp)
+        else:
+            acc = _loop_chain(ext_ref, rows, a, W, nw, P_ref, M_ref)
+        nib |= acc.astype(jnp.int32) << a
+
+    i = pl.program_id(0)
+    tile_last = (i + 1) * (128 * C) - 1
+    nlim = n_ref[0] - m
+
+    @pl.when(tile_last > nlim)
+    def _():
+        nib_ref[:] = _validity_nibble(nib, nlim, i, W, C)
+
+    @pl.when(tile_last <= nlim)
+    def _():
+        nib_ref[:] = nib
+
+    @pl.when(i == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    cnt_ref[0, 0] += _popcount_nibble(nib_ref[:])
+
+
+def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
+                     ext_ref, scr_ref, *, W, C, m, Mnp, probes):
+    # Stage ext in scratch so the verify loop can slice it dynamically.
+    ext_ref[:, :W] = x_ref[:]
+    ext_ref[:, W:] = h_ref[:]
+    ext = ext_ref[:]
+
+    # Screen: one probe word per alignment over the whole tile (vectorized).
+    scr = None
+    for a in range(4):
+        k = probes[a]
+        w = ext[:, k : k + W]
+        eq = (w == P_ref[a, k]) if Mnp[a, k] == -1 else (
+            (w & M_ref[a, k]) == P_ref[a, k]
+        )
+        scr = eq if scr is None else (scr | eq)
+    scr_ref[:] = scr.astype(jnp.int32)
+    nib_ref[:] = jnp.zeros((128, W), jnp.int32)
+
+    nw = Mnp.shape[1]
+    n_sw = W // 128
+    n_sr = 128 // 8
+
+    def body(idx, carry):
+        sr = (idx // n_sw) * 8
+        sw = (idx % n_sw) * 128
+        hit = jnp.any(scr_ref[pl.ds(sr, 8), pl.ds(sw, 128)] != 0)
+
+        @pl.when(hit)
+        def _():
+            nib = jnp.zeros((8, 128), jnp.int32)
+            for a in range(4):
+                acc = None
+                for k in range(nw):
+                    if Mnp[a, k] == 0:
+                        continue
+                    w = ext_ref[pl.ds(sr, 8), pl.ds(sw + k, 128)]
+                    if Mnp[a, k] == -1:
+                        eq = w == P_ref[a, k]
+                    else:
+                        eq = (w & M_ref[a, k]) == P_ref[a, k]
+                    acc = eq if acc is None else (acc & eq)
+                nib |= acc.astype(jnp.int32) << a
+            nib_ref[pl.ds(sr, 8), pl.ds(sw, 128)] = nib
+
+        return carry
+
+    jax.lax.fori_loop(0, n_sr * n_sw, body, 0)
+
+    i = pl.program_id(0)
+    tile_last = (i + 1) * (128 * C) - 1
+    nlim = n_ref[0] - m
+
+    @pl.when(tile_last > nlim)
+    def _():
+        nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
+
+    @pl.when(i == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    cnt_ref[0, 0] += _popcount_nibble(nib_ref[:])
+
+
+# ---------------------------------------------------------------------------
+# pallas_call builders (cached per shape class)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _build_call(Nk: int, C: int, m: int, nw: int, screened: bool,
+                Mkey: bytes, probes: tuple, interpret: bool):
+    W = C // 4
+    L = Nk // C
+    nt = L // 128
+    Mnp = np.frombuffer(Mkey, dtype=np.int32).reshape(4, nw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # n, P, M
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((128, W), lambda i, n, P, M: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, HALO_WORDS), lambda i, n, P, M: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((128, W), lambda i, n, P, M: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((128, W + HALO_WORDS), jnp.int32),
+                pltpu.VMEM((128, W), jnp.int32),
+            ]
+            if screened
+            else [pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)]
+        ),
+    )
+    if screened:
+        kern = functools.partial(_screened_kernel, W=W, C=C, m=m, Mnp=Mnp,
+                                 probes=probes)
+    else:
+        kern = functools.partial(_naive_kernel, W=W, C=C, m=m, Mnp=Mnp)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((L, W), jnp.int32),
+        ),
+        interpret=interpret,
+    )
+
+
+def _as_words(text_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8[N] -> int32[N/4] little-endian words (device bitcast)."""
+    return jax.lax.bitcast_convert_type(
+        text_u8.reshape(-1, 4), jnp.int32
+    )
+
+
+def nibble_to_bool(nib: jnp.ndarray) -> jnp.ndarray:
+    """int32[L, W] nibble mask -> bool[L*W*4] start mask (byte order)."""
+    bits = (nib[..., None] >> jnp.arange(4, dtype=jnp.int32)) & 1
+    return bits.astype(jnp.bool_).reshape(-1)
+
+
+def _run(text_u8, n, P, m, *, screened: bool, chunk_bytes: int,
+         interpret: bool, jnp_tail_mask):
+    """Shared driver: kernel over the largest aligned prefix, jnp fallback
+    over the tail, bool-mask concatenation.
+
+    ``jnp_tail_mask(text_u8_tail, n_offset)`` must return the bool start
+    mask for the tail region (validity applied by the caller downstream).
+    """
+    N = text_u8.shape[0]
+    C = chunk_bytes
+    tile_bytes = 128 * C
+    Nk = (N // tile_bytes) * tile_bytes
+    nw = P.shape[1]
+    Mnp = mask_words(m)  # concrete: depends only on m
+    M = jnp.asarray(Mnp)
+    probes = tuple(_probe_indices(Mnp))
+
+    if Nk < max(tile_bytes, MIN_KERNEL_BYTES):
+        return None  # caller falls back to pure jnp
+
+    words = _as_words(text_u8[:Nk])
+    W = C // 4
+    L = Nk // C
+    x = words.reshape(L, W)
+    h = jnp.concatenate(
+        [x[1:, :HALO_WORDS], jnp.zeros((1, HALO_WORDS), jnp.int32)], axis=0
+    )
+    call = _build_call(Nk, C, m, nw, screened,
+                       Mnp.tobytes(), probes, interpret)
+    _, nib = call(jnp.asarray(n, jnp.int32).reshape(1), P, M, x, h)
+    kmask = nibble_to_bool(nib)  # bool[Nk]
+
+    # The kernel's view ends at Nk: positions in [Nk-m+1, Nk) lack real
+    # lookahead (their halo row is zeros), so the jnp tail re-scans from
+    # there with the true bytes; the kernel's entries are discarded.
+    cut = Nk - (m - 1) if m > 1 else Nk
+    tail_mask = jnp_tail_mask(text_u8[cut:])  # bool[N - cut]
+    return jnp.concatenate([kmask[:cut], tail_mask])
+
+
+def naive_mask(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+               interpret: bool = False, jnp_tail_mask=None):
+    """Full-verify SWAR scan (naive algorithm).  Returns bool[N] start mask
+    (validity for n handled downstream) or None if ineligible."""
+    return _run(text_u8, n, P, m, screened=False, chunk_bytes=chunk_bytes,
+                interpret=interpret, jnp_tail_mask=jnp_tail_mask)
+
+
+def screened_mask(text_u8, n, P, m, *,
+                  chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                  interpret: bool = False, jnp_tail_mask=None):
+    """Probe-screen + predicated-verify SWAR scan (Boyer-Moore execution)."""
+    return _run(text_u8, n, P, m, screened=True, chunk_bytes=chunk_bytes,
+                interpret=interpret, jnp_tail_mask=jnp_tail_mask)

@@ -7,8 +7,10 @@ benchmarked separately (BASELINE.json:2 "bytes/s/chip per algorithm").
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
+from ..kernels import swar
 from ..ops import boyer_moore as bm_ops
 from ..ops import kmp as kmp_ops
 from ..ops import naive as naive_ops
@@ -19,14 +21,53 @@ from .base import Matcher
 from .registry import register_matcher
 
 
+def _pallas_enabled(config: MatchConfig, m: int) -> bool:
+    """Kernel path gate, evaluated at trace time.
+
+    'auto' engages the Pallas kernels on TPU backends only; 'on' forces
+    them everywhere (CPU runs need config.interpret=True); 'off' keeps the
+    pure-XLA path.  Patterns beyond the 509-byte halo fall back.
+    """
+    if not swar.swar_supported(m, config.interpret):
+        return False
+    if config.use_pallas == "on":
+        return True
+    if config.use_pallas == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _swar_tables(pat: np.ndarray) -> dict:
+    P, _ = swar.pattern_words(pat)
+    return {"swar_p": P}
+
+
 @register_matcher
 class NaiveMatcher(Matcher):
-    """Vectorized shift-AND window compare (SURVEY.md R1)."""
+    """Vectorized shift-AND window compare (SURVEY.md R1).
+
+    TPU execution: full-verify SWAR Pallas kernel (kernels/swar.py); the
+    jnp shifted-compare path serves CPU, small inputs, and the kernel's
+    tail region.
+    """
 
     name = "naive"
 
+    def _precompute(self, pat: np.ndarray) -> dict:
+        return _swar_tables(pat)
+
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):
+        m = pattern.shape[0]
+        if _pallas_enabled(config, m):
+            out = swar.naive_mask(
+                text, text.shape[0], tables_["swar_p"], m,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret,
+                jnp_tail_mask=lambda t: naive_ops.naive_start_mask(t, pattern),
+            )
+            if out is not None:
+                return out
         return naive_ops.naive_start_mask(text, pattern)
 
 
@@ -82,6 +123,7 @@ class BoyerMooreMatcher(Matcher):
         return {
             "bad_char": tables.bm_bad_char(pat),
             "good_suffix": tables.bm_good_suffix(pat),
+            **_swar_tables(pat),
         }
 
     @staticmethod
@@ -94,6 +136,19 @@ class BoyerMooreMatcher(Matcher):
                 tables_["good_suffix"],
                 config.bm_chunk,
             )
+        m = pattern.shape[0]
+        if _pallas_enabled(config, m):
+            # Screened SWAR kernel: the probe screen is the vectorized
+            # bad-character heuristic; sub-blocks with no probe hit skip the
+            # verify loop entirely (tile-granular skip-loop).
+            out = swar.screened_mask(
+                text, text.shape[0], tables_["swar_p"], m,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret,
+                jnp_tail_mask=lambda t: naive_ops.naive_start_mask(t, pattern),
+            )
+            if out is not None:
+                return out
         return bm_ops.bm_start_mask_filtered(
             text, pattern, config.verify_capacity
         )

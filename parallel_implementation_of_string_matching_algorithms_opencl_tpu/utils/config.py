@@ -25,10 +25,13 @@ class MatchConfig:
     bm_variant: str = "filtered"
     # Pad text length to a multiple of this (TPU lane/sublane friendliness).
     pad_multiple: int = 1024
-    # Use Pallas kernels where available ("auto" = on TPU backends only).
+    # Use Pallas kernels where available ("auto" = on TPU backends only,
+    # "on" = force, "off" = pure-XLA path).
     use_pallas: str = "auto"
     # Run Pallas kernels in interpreter mode (debugging / CPU CI).
     interpret: bool = False
+    # Bytes per SWAR kernel chunk (per-lane sequential run; VMEM-tuned).
+    pallas_chunk_bytes: int = 8192
     # Rabin-Karp base override (odd uint32); None = ops.tables.RK_BASE.
     rk_base: int | None = None
 

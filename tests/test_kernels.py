@@ -11,10 +11,15 @@ import jax
 import jax.numpy as jnp
 
 from conformance.oracle import find_all
-from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import swar
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import (
+    shift_and,
+    swar,
+)
 from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.algorithms import (
     BoyerMooreMatcher,
+    KMPMatcher,
     NaiveMatcher,
+    RabinKarpMatcher,
 )
 from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
     MatchConfig,
@@ -36,6 +41,7 @@ CFG = MatchConfig(
 @pytest.fixture(autouse=True)
 def _small_kernel_floor(monkeypatch):
     monkeypatch.setattr(swar, "MIN_KERNEL_BYTES", 0)
+    monkeypatch.setattr(shift_and, "MIN_KERNEL_BYTES", 0)
 
 
 def test_bitcast_little_endian():
@@ -59,7 +65,9 @@ def test_nibble_roundtrip():
                                        False, False, False, True]
 
 
-@pytest.mark.parametrize("matcher_cls", [NaiveMatcher, BoyerMooreMatcher])
+@pytest.mark.parametrize(
+    "matcher_cls", [NaiveMatcher, BoyerMooreMatcher, RabinKarpMatcher]
+)
 @pytest.mark.parametrize(
     "pat",
     [b"the quick", b"q", b"zz", b"fox jumps over lazy"],
@@ -73,7 +81,9 @@ def test_kernel_exact_vs_oracle(matcher_cls, pat):
     assert r.offsets_list() == expected
 
 
-@pytest.mark.parametrize("matcher_cls", [NaiveMatcher, BoyerMooreMatcher])
+@pytest.mark.parametrize(
+    "matcher_cls", [NaiveMatcher, BoyerMooreMatcher, RabinKarpMatcher]
+)
 def test_kernel_tile_seams(matcher_cls):
     # Matches planted straddling the kernel-region/tail cut and chunk seams.
     C = CFG.pallas_chunk_bytes
@@ -112,6 +122,60 @@ def test_kernel_long_pattern_fallback():
     text = (b"x" * 1000) + pat + (b"y" * 1000)
     r = NaiveMatcher(pat, CFG).match(text)
     assert r.count == 1 and r.offsets_list() == [1000]
+
+
+def test_b_table():
+    B = shift_and.b_table(np.frombuffer(b"aba", np.uint8))
+    assert B.shape == (2, 8, 128)
+    assert B[0, 0, ord("a")] == 0b101
+    assert B[0, 0, ord("b")] == 0b010
+    assert B[0, 0, ord("c")] == 0
+    assert (B[0] == B[0, 0]).all()  # sublane-replicated
+
+
+@pytest.mark.parametrize(
+    "pat", [b"t", b"the", b"the quick", b"fox jumps over lazy dog and cat "]
+)
+def test_shift_and_kernel_exact(pat):
+    assert len(pat) <= 32
+    text = gen_english(2 * 128 * 512 + 333, seed=6)
+    cfg = CFG.replace(capacity=1 << 17)  # short patterns match densely
+    r = KMPMatcher(pat, cfg).match(text)
+    expected = find_all(text, pat)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected
+
+
+def test_shift_and_subchunk_seams():
+    # Matches straddling sub-chunk boundaries (C'=64 for C=512) at all phases.
+    C = CFG.pallas_chunk_bytes
+    Cp = C // 8
+    data = bytearray(gen_english(128 * C + 99, seed=8))
+    pat = b"SUBSEAM"
+    for k in range(1, 9):
+        for phase in (-len(pat), -3, -1, 0):
+            p = k * Cp + phase
+            if 0 <= p <= len(data) - len(pat):
+                data[p : p + len(pat)] = pat
+    # also chunk seams and overlapping-capable pattern
+    data[C - 2 : C - 2 + len(pat)] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert len(expected) >= 8
+    r = KMPMatcher(pat, CFG).match(text)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected
+
+
+def test_shift_and_overlapping_and_m32():
+    C = CFG.pallas_chunk_bytes
+    text = b"ab" * (64 * C + 31)  # 'abab...' overlapping matches everywhere
+    pat = b"ab" * 16  # m = 32, the single-word limit
+    cfg = CFG.replace(capacity=len(text))
+    r = KMPMatcher(pat, cfg).match(text)
+    expected = find_all(text, pat)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected
 
 
 def test_kernel_dense_matches():

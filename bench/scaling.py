@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Scaling-efficiency bench (BASELINE.json:5: ">=90% bytes/s at 2+ hosts").
+
+Measures distributed bytes/s on 1, 2, 4, 8-device data meshes with the
+identical shard_map path used on a pod (halo ppermute + psum + all_gather).
+Without a real multi-chip slice this runs on forced CPU host devices — the
+collective/sharding code is what is being exercised; absolute numbers are
+CPU numbers.  On a pod slice the same script reports real ICI scaling.
+
+Usage (CPU mesh): python bench/scaling.py --mb 64
+Appends rows to BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=64)
+    ap.add_argument("--algo", default="boyer_moore")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--force-cpu-devices", type=int, default=8,
+                    help="0 = use real devices")
+    args = ap.parse_args()
+
+    if args.force_cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.force_cpu_devices}"
+        ).strip()
+    import jax
+
+    if args.force_cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.dist import (
+        DistributedMatcher,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.mesh import (
+        make_data_mesh,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+        gen_english,
+    )
+
+    ndev = len(jax.devices())
+    print(f"{ndev} devices: {jax.devices()[0].platform}", file=sys.stderr)
+    n = args.mb << 20
+    text = gen_english(n, seed=42)
+    pat = b"quick brown fox "
+
+    base = None
+    rows = []
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev]
+    for d in sizes:
+        mesh = make_data_mesh(d)
+        dm = DistributedMatcher(pat, algo=args.algo, mesh=mesh)
+        r = dm.match(text)  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            r = dm.match(text)
+        wall = (time.perf_counter() - t0) / args.iters
+        bps = n / wall
+        if base is None:
+            base = bps
+        eff = bps / (base * d)
+        row = {
+            "devices": d,
+            "algo": args.algo,
+            "n_bytes": n,
+            "wall_s": wall,
+            "bytes_per_s": bps,
+            "scaling_efficiency": eff,
+            "match_count": r.count,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open("BENCH_SCALING.json", "a") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()

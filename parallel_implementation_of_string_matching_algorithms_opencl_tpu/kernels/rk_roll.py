@@ -1,0 +1,163 @@
+"""Rolling-hash Rabin-Karp Pallas kernel (SURVEY.md R2, BASELINE config 2).
+
+The dense "recompute the window hash at every position" formulation costs
+m MACs per position and blows the scoped-VMEM stack for full tiles; the
+*rolling* form — the actual Rabin-Karp algorithm — is O(1) per byte:
+
+    H <- H * B  -  text[p-m] * B^m  +  text[p]          (wrapping mod 2**32)
+
+It maps onto the sub-chunk-serial decomposition of kernels/shift_and.py:
+1024 independent rolling hashes per tile (128 chunks x 8 sub-chunks), one
+per element of an (8, 128) VPU register, each consuming one byte per step.
+
+The departing byte text[p-m] is re-read from the staged words at a fixed
+lag.  To keep every offset static and aligned (Mosaic requirement), each
+sub-chunk's word stream is FRONT-PADDED with DELTA zero words
+(DELTA = qo rounded up to 8, qo = m//4): one aligned (8, DELTA+8, 128)
+block read per group then serves both the current 8 words (at static
+offsets DELTA..DELTA+7) and their departing words (at static offsets
+DELTA+j-qo[-1]); the zero pad doubles as the "no departing byte yet"
+window warm-up, so no masking is needed.
+
+Multi-pattern is where RK pays off (BASELINE.json:8 — 8 patterns): the
+hash rolls ONCE and compares against k pattern hashes; candidates for ANY
+pattern OR into one end-position nibble mask.  The kernel is a *screen*:
+the caller converts end->start (shift_and.end_nibble3_to_start_mask) and
+exactly verifies the (~N/2**32 false-positive rate) candidates per pattern
+with the jnp gather-compare (ops/rabin_karp._verify_candidates).
+
+B and B^m are baked in as int32 constants; two's-complement wrap equals
+the uint32 host tables (ops/tables.rk_constants) bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import swar as _swar
+from .shift_and import (
+    _layout,
+    end_nibble3_to_start_mask,
+    end_nibble3_to_start_nib,
+)
+from .swar import DEFAULT_CHUNK_BYTES
+
+MAX_RK_PATTERN = 509  # bounded by the per-sub-chunk halo
+
+
+def rk_roll_supported(m: int) -> bool:
+    return 2 <= m <= MAX_RK_PATTERN
+
+
+def _delta(m: int) -> int:
+    """Front-pad words: the departing-byte lag rounded up to sublane size."""
+    qo = m // 4
+    return -(-(qo + 1) // 8) * 8
+
+
+def _kernel(n_ref, tgt_ref, x3_ref, nibE_ref, *, G, m, B, Bm, k, DELTA):
+    """x3_ref: (8, DELTA+G*8, 128) front-padded words; nibE_ref: (8, G*8,
+    128), bit b of word g = hash hit ENDING at scan byte 4*g+b."""
+    qo, ro = divmod(m, 4)
+
+    def group(g, H):
+        base = pl.multiple_of(g * 8, 8)
+        blk = x3_ref[:, pl.ds(base, DELTA + 8), :]  # old..current words
+        nibs = []
+        for j in range(8):
+            wv = blk[:, DELTA + j, :]
+            nib = jnp.zeros((8, 128), jnp.int32)
+            for b in range(4):
+                new_c = (wv >> (8 * b)) & 0xFF
+                # departing byte: scan pos t-m -> word tw-qo(-1), byte …
+                if b >= ro:
+                    w_old = blk[:, DELTA + j - qo, :]
+                    oc = b - ro
+                else:
+                    w_old = blk[:, DELTA + j - qo - 1, :]
+                    oc = b + 4 - ro
+                old_c = (w_old >> (8 * oc)) & 0xFF
+                H = H * B - old_c * Bm + new_c
+                hit = None
+                for p in range(k):
+                    eq = H == tgt_ref[p]
+                    hit = eq if hit is None else (hit | eq)
+                nib |= hit.astype(jnp.int32) << b
+            nibs.append(nib)
+        nibE_ref[:, pl.ds(base, 8), :] = jnp.stack(nibs, axis=1)
+        return H
+
+    jax.lax.fori_loop(0, G, group, jnp.zeros((8, 128), jnp.int32))
+
+
+@functools.lru_cache(maxsize=256)
+def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
+                interpret: bool):
+    W8 = C // 32
+    HS = max(1, -(-(m - 1) // 4))
+    G = -(-(W8 + HS) // 8)
+    G8 = G * 8
+    DELTA = _delta(m)
+    L = Nk // C
+    nt = L // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # n, targets
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((8, DELTA + G8, 128), lambda i, n, t: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, G8, 128), lambda i, n, t: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(_kernel, G=G, m=m, B=B, Bm=Bm, k=k, DELTA=DELTA)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, G8, L), jnp.int32),
+        interpret=interpret,
+    )
+
+
+def rk_candidate_mask(text_u8, n, targets, m, base: int, *,
+                      chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                      interpret: bool = False, return_nib: bool = False):
+    """(candidate start mask bool[Nk], cut) from the rolling-hash screen,
+    or (None, 0) below the kernel threshold.
+
+    ``targets``: uint32[k] pattern hashes (ops/tables.rk_hash semantics).
+    Positions >= cut are NOT covered; the caller must handle [cut, N).
+    """
+    N = text_u8.shape[0]
+    C = chunk_bytes
+    tile_bytes = 128 * C
+    Nk = (N // tile_bytes) * tile_bytes
+    if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES):
+        return None, 0
+    W = C // 4
+    HS = max(1, -(-(m - 1) // 4))
+    G8 = -(-(W // 8 + HS) // 8) * 8
+    L = Nk // C
+    words = jax.lax.bitcast_convert_type(
+        text_u8[:Nk].reshape(-1, 4), jnp.int32
+    )
+    x3e = _layout(words, L, W, HS, G8, front=_delta(m))
+    B = int(base) & 0xFFFFFFFF
+    Bm = pow(B, m, 1 << 32)
+    B_i32 = B - (1 << 32) if B >= (1 << 31) else B
+    Bm_i32 = Bm - (1 << 32) if Bm >= (1 << 31) else Bm
+    tgt = jax.lax.bitcast_convert_type(
+        jnp.asarray(targets, jnp.uint32).reshape(-1), jnp.int32
+    )
+    call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret)
+    nibE = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
+    cut = Nk - (m - 1) if m > 1 else Nk
+    if return_nib:
+        return end_nibble3_to_start_nib(nibE, C // 8, m), cut
+    return end_nibble3_to_start_mask(nibE, C // 8, m), cut

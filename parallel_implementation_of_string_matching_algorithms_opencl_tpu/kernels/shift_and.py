@@ -22,10 +22,16 @@ Decomposition: each (128, W)-word tile = 128 chunks x 8 sub-chunks, giving
 full occupancy.  A sub-chunk owns matches STARTING in its C/8 bytes and
 scans (m-1) halo bytes past its end (prefix-automaton state at a match
 start depends only on bytes [start, start+m), so starting each automaton
-cold at its sub-chunk is exact — SURVEY.md §7.4 item 6).
+cold at its sub-chunk is exact — SURVEY.md §7.4 item 6; and a match
+starting before a sub-chunk can never be reported by it, so the merge is
+duplicate-free).
 
-Emits the same nibble-mask contract as kernels/swar.py, in sub-chunk-major
-layout (8, W8, L); ``nibble3_to_bool`` restores byte order.
+The kernel emits an END-position nibble mask in sub-chunk-major layout
+(8, G8, L) — bit b of word g flags a match *ending* at scan byte 4g+b —
+written one aligned (8, 8, 128) register group at a time (Mosaic requires
+provably-aligned dynamic sublane offsets).  The end→start shift by (m-1)
+and the byte-order restore happen outside the kernel in plain XLA
+(``end_nibble3_to_start_mask``), where they are a reshape + slice.
 """
 
 from __future__ import annotations
@@ -38,7 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .swar import DEFAULT_CHUNK_BYTES, MIN_KERNEL_BYTES
+from . import swar as _swar
+from .swar import DEFAULT_CHUNK_BYTES
 
 MAX_SHIFT_AND_PATTERN = 32  # one int32 state word per lane
 
@@ -62,105 +69,133 @@ def b_table(pattern: np.ndarray) -> np.ndarray:
     return np.broadcast_to(halves[:, None, :], (2, 8, 128)).copy()
 
 
-def _kernel(n_ref, blo_ref, bhi_ref, x3_ref, nib3_ref, *, W8, HS, m, Cp):
-    """x3_ref: (8, W8+HS, 128) words — sub-chunk s of chunk l at [s, :, l].
-    nib3_ref: (8, W8, 128) int32 — bit b of [s, tw, l] = match starting at
-    byte 4*tw+b of sub-chunk s of chunk l."""
-    nib3_ref[...] = jnp.zeros((8, W8, 128), jnp.int32)
+def _kernel(n_ref, blo_ref, bhi_ref, x3_ref, nibE_ref, *, G, m):
+    """x3_ref: (8, G*8, 128) words — sub-chunk s of chunk l at [s, :, l],
+    zero-padded past the (W8 + HS) real words.
+    nibE_ref: (8, G*8, 128) int32 — bit b of [s, g, l] = match ENDING at
+    scan byte 4*g+b of sub-chunk s of chunk l."""
     blo = blo_ref[:]
     bhi = bhi_ref[:]
-    q, r = divmod(m - 1, 4)
 
-    def step(tw, D):
-        wv = x3_ref[:, pl.ds(tw, 1), :].reshape(8, 128)
-        lo_bits = jnp.zeros((8, 128), jnp.int32)
-        hi_bits = jnp.zeros((8, 128), jnp.int32)
-        for b in range(4):
-            c = (wv >> (8 * b)) & 0xFF
-            g_lo = jnp.take_along_axis(blo, c & 127, axis=1)
-            g_hi = jnp.take_along_axis(bhi, c & 127, axis=1)
-            Bc = jnp.where(c < 128, g_lo, g_hi)
-            D = ((D << 1) | 1) & Bc
-            hit = jax.lax.shift_right_logical(D, m - 1) & 1
-            # match ends at byte t=4*tw+b -> starts at sb = t-(m-1)
-            #   = 4*(tw-q) + (b-r): bits b>=r land in word tw-q at bit b-r,
-            #   bits b<r in word tw-q-1 at bit b+4-r.
-            if b >= r:
-                lo_bits |= hit << (b - r)
-            else:
-                hi_bits |= hit << (b + 4 - r)
-        w2 = tw - q  # start-word for the b >= r bits (r is static)
-
-        if r > 0:  # bits from b < r land one word earlier
-            @pl.when((w2 >= 1) & (w2 - 1 < W8))
-            def _():
-                nib3_ref[:, pl.ds(w2 - 1, 1), :] = (
-                    nib3_ref[:, pl.ds(w2 - 1, 1), :]
-                    | hi_bits.reshape(8, 1, 128)
-                )
-
-        @pl.when((w2 >= 0) & (w2 < W8))
-        def _():
-            nib3_ref[:, pl.ds(w2, 1), :] = (
-                nib3_ref[:, pl.ds(w2, 1), :] | lo_bits.reshape(8, 1, 128)
-            )
-
+    def group(g, D):
+        base = pl.multiple_of(g * 8, 8)
+        blk = x3_ref[:, pl.ds(base, 8), :]  # (8, 8, 128)
+        nibs = []
+        for j in range(8):
+            wv = blk[:, j, :]
+            nib = jnp.zeros((8, 128), jnp.int32)
+            for b in range(4):
+                c = (wv >> (8 * b)) & 0xFF
+                g_lo = jnp.take_along_axis(blo, c & 127, axis=1)
+                g_hi = jnp.take_along_axis(bhi, c & 127, axis=1)
+                Bc = jnp.where(c < 128, g_lo, g_hi)
+                D = ((D << 1) | 1) & Bc
+                hit = jax.lax.shift_right_logical(D, m - 1) & 1
+                nib |= hit << b
+            nibs.append(nib)
+        nibE_ref[:, pl.ds(base, 8), :] = jnp.stack(nibs, axis=1)
         return D
 
-    jax.lax.fori_loop(0, W8 + HS, step, jnp.zeros((8, 128), jnp.int32))
+    jax.lax.fori_loop(0, G, group, jnp.zeros((8, 128), jnp.int32))
 
 
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, interpret: bool):
-    W = C // 4
-    W8 = W // 8
-    Cp = C // 8
-    HS = max(1, -(-(m - 1) // 4))  # halo words per sub-chunk
+    W8 = C // 32  # words per sub-chunk
+    HS = max(1, -(-(m - 1) // 4))
+    G = -(-(W8 + HS) // 8)
+    G8 = G * 8
     L = Nk // C
     nt = L // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # n (unused; kept for interface symmetry)
+        num_scalar_prefetch=1,  # n (interface symmetry with swar kernels)
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # blo (8,128)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bhi (8,128)
-            pl.BlockSpec((8, W8 + HS, 128), lambda i, n: (0, 0, i),
+            pl.BlockSpec((8, G8, 128), lambda i, n: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, W8, 128), lambda i, n: (0, 0, i),
+        out_specs=pl.BlockSpec((8, G8, 128), lambda i, n: (0, 0, i),
                                memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_kernel, W8=W8, HS=HS, m=m, Cp=Cp)
+    kern = functools.partial(_kernel, G=G, m=m)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, W8, L), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((8, G8, L), jnp.int32),
         interpret=interpret,
     )
 
 
-def _layout(words: jnp.ndarray, L: int, W: int, HS: int):
-    """(8, W8+HS, L) sub-chunk-major word layout with per-sub-chunk halos."""
+def _layout(words: jnp.ndarray, L: int, W: int, HS: int, G8: int,
+            front: int = 0):
+    """(8, front+G8, L) sub-chunk-major word layout with per-sub-chunk
+    halos, zero-padded to G8 real words plus ``front`` leading zero words
+    (the rolling-hash kernel reads departing bytes at a static negative
+    offset through this pad)."""
     W8 = W // 8
     wr = words.reshape(L * 8, W8)  # row j = sub-chunk j (global order)
-    halo = jnp.concatenate(
-        [wr[1:, :HS], jnp.zeros((1, HS), jnp.int32)], axis=0
-    )  # next sub-chunk's first HS words
-    x3 = wr.reshape(L, 8, W8).transpose(1, 2, 0)      # (8, W8, L)
-    h3 = halo.reshape(L, 8, HS).transpose(1, 2, 0)    # (8, HS, L)
-    return jnp.concatenate([x3, h3], axis=1)          # (8, W8+HS, L)
+    # Halo: the next HS words of the GLOBAL stream (may span several
+    # following sub-chunks when m-1 > sub-chunk bytes).
+    n_blocks = -(-HS // W8)
+    wz = jnp.concatenate(
+        [wr, jnp.zeros((n_blocks, W8), jnp.int32)], axis=0
+    )
+    parts, rem, k = [], HS, 0
+    while rem > 0:
+        take = min(W8, rem)
+        parts.append(wz[k + 1 : k + 1 + L * 8, :take])
+        rem -= take
+        k += 1
+    halo = jnp.concatenate(parts, axis=1)
+    ext = jnp.concatenate([wr, halo], axis=1)  # (L*8, W8+HS)
+    back = G8 - (W8 + HS)
+    if front or back:
+        ext = jnp.pad(ext, ((0, 0), (front, back)))
+    return ext.reshape(L, 8, front + G8).transpose(1, 2, 0)
 
 
-def nibble3_to_bool(nib3: jnp.ndarray) -> jnp.ndarray:
-    """(8, W8, L) sub-chunk-major nibble mask -> bool[N] in byte order."""
-    byte_major = nib3.transpose(2, 0, 1)  # (L, 8, W8)
+def end_nibble3_to_start_nib(nibE: jnp.ndarray, Cp: int, m: int):
+    """(8, G8, L) end-position nibbles -> int32[N/4] START nibbles in byte
+    order — pure word-space bit plumbing (never expands to bool[N]; a
+    (..., 4)-shaped expansion acquires a 32x-padded TPU layout).
+
+    A match ending at scan byte t starts at sb = t-(m-1); with
+    q, r = divmod(m-1, 4), start word g' draws bit b from end word g'+q
+    bit b+r (or g'+q+1, bit b+r-4).
+    """
+    q, r = divmod(m - 1, 4)
+    Cw = Cp // 4  # owned start words per sub-chunk
+    E = nibE.transpose(2, 0, 1)  # (L, 8, G8) scan-order words
+    lo = jax.lax.slice_in_dim(E, q, q + Cw, axis=2)
+    if r == 0:
+        sn = lo
+    else:
+        hi = jax.lax.slice_in_dim(E, q + 1, q + 1 + Cw, axis=2)
+        sn = ((lo >> r) | (hi << (4 - r))) & 0xF
+    return sn.reshape(-1)  # (L*8*Cw,) == N/4 words in byte order
+
+
+def end_nibble3_to_start_mask(nibE: jnp.ndarray, Cp: int, m: int):
+    """(8, G8, L) end-position nibble mask -> bool[N] START mask, byte order.
+
+    Scan-local end byte t maps to start t-(m-1); owned starts are the
+    sub-chunk's first Cp bytes, i.e. end positions t in [m-1, m-1+Cp).
+    """
+    G8 = nibE.shape[1]
+    L = nibE.shape[2]
+    byte_major = nibE.transpose(2, 0, 1)  # (L, 8, G8)
     bits = (byte_major[..., None] >> jnp.arange(4, dtype=jnp.int32)) & 1
-    return bits.astype(jnp.bool_).reshape(-1)
+    ends = bits.astype(jnp.bool_).reshape(L, 8, G8 * 4)
+    starts = jax.lax.slice_in_dim(ends, m - 1, m - 1 + Cp, axis=2)
+    return starts.reshape(-1)
 
 
 def kmp_mask(text_u8, n, blo, bhi, m, *,
              chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-             interpret: bool = False, jnp_tail_mask=None):
+             interpret: bool = False, jnp_tail_mask=None,
+             return_nib: bool = False):
     """bool[N] start mask via the Shift-AND prefix automaton, or None if
     the input is below the kernel threshold.  ``blo``/``bhi`` come from
     ``b_table`` (tables dict).  Validity for n is applied downstream."""
@@ -168,19 +203,22 @@ def kmp_mask(text_u8, n, blo, bhi, m, *,
     C = chunk_bytes
     tile_bytes = 128 * C
     Nk = (N // tile_bytes) * tile_bytes
-    if Nk < max(tile_bytes, MIN_KERNEL_BYTES):
-        return None
+    if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES):
+        return (None, 0) if return_nib else None
     W = C // 4
+    W8 = W // 8
     HS = max(1, -(-(m - 1) // 4))
+    G8 = -(-(W8 + HS) // 8) * 8
     L = Nk // C
     words = jax.lax.bitcast_convert_type(
         text_u8[:Nk].reshape(-1, 4), jnp.int32
     )
-    x3e = _layout(words, L, W, HS)
+    x3e = _layout(words, L, W, HS, G8)
     call = _build_call(Nk, C, m, interpret)
-    nib3 = call(jnp.asarray(n, jnp.int32).reshape(1), blo, bhi, x3e)
-    kmask = nibble3_to_bool(nib3)  # bool[Nk]
-
+    nibE = call(jnp.asarray(n, jnp.int32).reshape(1), blo, bhi, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
+    if return_nib:
+        return end_nibble3_to_start_nib(nibE, C // 8, m), cut
+    kmask = end_nibble3_to_start_mask(nibE, C // 8, m)  # bool[Nk]
     tail_mask = jnp_tail_mask(text_u8[cut:])
     return jnp.concatenate([kmask[:cut], tail_mask])

@@ -148,16 +148,22 @@ def _popcount_nibble(nib):
 STATIC_NW = 5
 
 
-def _loop_chain(ext_ref, rows, a, W, nw, P_ref, M_ref):
-    """AND-chain over k in [0, nw) as a fori_loop with dynamic lane slices.
-    Always applies the mask AND (identity for interior words)."""
+def _loop_chain(ext_ref, a, W, nw, P_ref, M_ref):
+    """AND-chain over k in [0, nw) as a fori_loop.
+
+    Mosaic requires provably-aligned dynamic vector-load offsets, so the
+    lane-shifted view for step k comes from a dynamic rotate
+    (tpu.dynamic_rotate via pltpu.roll) of the staged ext value instead of
+    an unaligned ref read."""
+    ext_all = ext_ref[:]  # (128, W + HALO_WORDS)
+    size = ext_all.shape[1]
 
     def body(k, acc):
-        w = ext_ref[rows, pl.ds(k, W)]
+        # roll right by (size - k) == roll left by k: lane i reads word i+k.
+        w = pltpu.roll(ext_all, shift=size - k, axis=1)[:, :W]
         return acc & ((w & M_ref[a, k]) == P_ref[a, k])
 
-    w0 = ext_ref[rows, pl.ds(0, W)]
-    acc0 = (w0 & M_ref[a, 0]) == P_ref[a, 0]
+    acc0 = (ext_all[:, 0:W] & M_ref[a, 0]) == P_ref[a, 0]
     return jax.lax.fori_loop(1, nw, body, acc0)
 
 
@@ -167,12 +173,11 @@ def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     ext_ref[:, W:] = h_ref[:]
     nw = Mnp.shape[1]
     nib = jnp.zeros((128, W), jnp.int32)
-    rows = pl.ds(0, 128)
     for a in range(4):
         if nw <= STATIC_NW:
             acc = _compare_chain(ext_ref[:], a, W, P_ref, M_ref, Mnp)
         else:
-            acc = _loop_chain(ext_ref, rows, a, W, nw, P_ref, M_ref)
+            acc = _loop_chain(ext_ref, a, W, nw, P_ref, M_ref)
         nib |= acc.astype(jnp.int32) << a
 
     i = pl.program_id(0)
@@ -203,19 +208,24 @@ def _verify_loop(P_ref, M_ref, nib_ref, ext_ref, scr_ref, *, W, Mnp):
     n_sr = 128 // 8
 
     def body(idx, carry):
-        sr = (idx // n_sw) * 8
-        sw = (idx % n_sw) * 128
+        # Mosaic requires dynamic vector-load offsets to be provably
+        # aligned: hint the multiples, read one aligned (8, 256) window
+        # (the needed lanes [sw, sw+128+nw) with nw <= 128), and take the
+        # per-k shifted views as value slices.
+        sr = pl.multiple_of((idx // n_sw) * 8, 8)
+        sw = pl.multiple_of((idx % n_sw) * 128, 128)
         hit = jnp.any(scr_ref[pl.ds(sr, 8), pl.ds(sw, 128)] != 0)
 
         @pl.when(hit)
         def _():
+            blk = ext_ref[pl.ds(sr, 8), pl.ds(sw, 256)]
             nib = jnp.zeros((8, 128), jnp.int32)
             for a in range(4):
                 acc = None
                 for k in range(nw):
                     if Mnp[a, k] == 0:
                         continue
-                    w = ext_ref[pl.ds(sr, 8), pl.ds(sw + k, 128)]
+                    w = blk[:, k : k + 128]
                     if Mnp[a, k] == -1:
                         eq = w == P_ref[a, k]
                     else:
@@ -265,49 +275,6 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     cnt_ref[0, 0] += _popcount_nibble(nib_ref[:])
 
 
-def _rk_kernel(n_ref, P_ref, M_ref, pw_ref, tgt_ref, x_ref, h_ref, cnt_ref,
-               nib_ref, ext_ref, scr_ref, *, W, C, m, Mnp):
-    """Rabin-Karp: polynomial window-hash screen + predicated exact verify.
-
-    The window hash H[p] = sum_j text[p+j] * pw[j] (wrapping mod 2**32,
-    pw[j] = B^(m-1-j) — ops/tables.rk_constants) is computed densely from
-    four byte planes extracted from the packed words; positions whose hash
-    equals the pattern hash become the screen for the same sub-block verify
-    loop as the Boyer-Moore kernel.  False-positive rate ~ N/2**32, so
-    verify work tracks the true match count (SURVEY.md R2).
-    """
-    ext_ref[:, :W] = x_ref[:]
-    ext_ref[:, W:] = h_ref[:]
-    planes = [((ext_ref[:] >> (8 * c)) & 0xFF) for c in range(4)]
-    scr = None
-    for a in range(4):
-        h = planes[a % 4][:, a // 4 : a // 4 + W] * pw_ref[0]
-        for j in range(1, m):
-            c = (a + j) % 4
-            kk = (a + j) // 4
-            h = h + planes[c][:, kk : kk + W] * pw_ref[j]
-        cand = h == tgt_ref[0]
-        scr = cand if scr is None else (scr | cand)
-    scr_ref[:] = scr.astype(jnp.int32)
-    nib_ref[:] = jnp.zeros((128, W), jnp.int32)
-
-    _verify_loop(P_ref, M_ref, nib_ref, ext_ref, scr_ref, W=W, Mnp=Mnp)
-
-    i = pl.program_id(0)
-    tile_last = (i + 1) * (128 * C) - 1
-    nlim = n_ref[0] - m
-
-    @pl.when(tile_last > nlim)
-    def _():
-        nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
-
-    @pl.when(i == 0)
-    def _():
-        cnt_ref[0, 0] = 0
-
-    cnt_ref[0, 0] += _popcount_nibble(nib_ref[:])
-
-
 # ---------------------------------------------------------------------------
 # pallas_call builders (cached per shape class)
 # ---------------------------------------------------------------------------
@@ -321,7 +288,8 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
     L = Nk // C
     nt = L // 128
     Mnp = np.frombuffer(Mkey, dtype=np.int32).reshape(4, nw)
-    n_scalars = 5 if mode == "rk" else 3  # (n, P, M[, powers, target])
+    assert mode in ("naive", "screened")
+    n_scalars = 3  # (n, P, M)
     idx = lambda i, *scalars: (i, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalars,
@@ -346,8 +314,6 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
     if mode == "screened":
         kern = functools.partial(_screened_kernel, W=W, C=C, m=m, Mnp=Mnp,
                                  probes=probes)
-    elif mode == "rk":
-        kern = functools.partial(_rk_kernel, W=W, C=C, m=m, Mnp=Mnp)
     else:
         kern = functools.partial(_naive_kernel, W=W, C=C, m=m, Mnp=Mnp)
     return pl.pallas_call(
@@ -375,7 +341,7 @@ def nibble_to_bool(nib: jnp.ndarray) -> jnp.ndarray:
 
 
 def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
-         interpret: bool, jnp_tail_mask, rk_scalars=None):
+         interpret: bool, jnp_tail_mask=None, return_nib: bool = False):
     """Shared driver: kernel over the largest aligned prefix, jnp fallback
     over the tail, bool-mask concatenation.
 
@@ -383,7 +349,10 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     mask for the tail region (validity applied by the caller downstream).
     """
     N = text_u8.shape[0]
-    C = chunk_bytes
+    # The naive mode's full-tile compare chains spill ~17MB of scoped VMEM
+    # at C=8192 (measured); a 4 KiB chunk keeps it ~8MB with ~4% slower
+    # scans.  Screened mode streams through scratch refs and stays at C.
+    C = min(chunk_bytes, 4096) if mode == "naive" else chunk_bytes
     tile_bytes = 128 * C
     Nk = (N // tile_bytes) * tile_bytes
     nw = P.shape[1]
@@ -392,7 +361,7 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     probes = tuple(_probe_indices(Mnp))
 
     if Nk < max(tile_bytes, MIN_KERNEL_BYTES):
-        return None  # caller falls back to pure jnp
+        return (None, 0) if return_nib else None  # caller falls back
 
     words = _as_words(text_u8[:Nk])
     W = C // 4
@@ -403,18 +372,14 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     )
     call = _build_call(Nk, C, m, nw, mode,
                        Mnp.tobytes(), probes, interpret)
-    n_arr = jnp.asarray(n, jnp.int32).reshape(1)
-    if mode == "rk":
-        pw, tgt = rk_scalars
-        _, nib = call(n_arr, P, M, pw, tgt, x, h)
-    else:
-        _, nib = call(n_arr, P, M, x, h)
-    kmask = nibble_to_bool(nib)  # bool[Nk]
-
+    _, nib = call(jnp.asarray(n, jnp.int32).reshape(1), P, M, x, h)
     # The kernel's view ends at Nk: positions in [Nk-m+1, Nk) lack real
-    # lookahead (their halo row is zeros), so the jnp tail re-scans from
-    # there with the true bytes; the kernel's entries are discarded.
+    # lookahead (their halo row is zeros) and must be re-scanned by the
+    # caller's tail path.
     cut = Nk - (m - 1) if m > 1 else Nk
+    if return_nib:
+        return nib.reshape(-1), cut
+    kmask = nibble_to_bool(nib)  # bool[Nk]
     tail_mask = jnp_tail_mask(text_u8[cut:])  # bool[N - cut]
     return jnp.concatenate([kmask[:cut], tail_mask])
 
@@ -435,24 +400,16 @@ def screened_mask(text_u8, n, P, m, *,
                 interpret=interpret, jnp_tail_mask=jnp_tail_mask)
 
 
-# Hash-plane MACs make the RK kernel's VMEM stack ~2x the others'; a
-# smaller chunk keeps it inside the 16 MiB scoped limit.
-RK_MAX_CHUNK_BYTES = 4096
+def naive_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+              interpret: bool = False):
+    """(int32[Nk/4] start-nibble mask, cut) or (None, 0) — the zero-copy
+    result path (see ops/emit.py nibble_to_matches)."""
+    return _run(text_u8, n, P, m, mode="naive", chunk_bytes=chunk_bytes,
+                interpret=interpret, return_nib=True)
 
 
-def rk_mask(text_u8, n, P, powers, target, m, *,
-            chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-            interpret: bool = False, jnp_tail_mask=None):
-    """Rabin-Karp window-hash screen + exact verify (single pattern).
-
-    ``powers`` int32[m] = B^(m-1-j) mod 2**32 and ``target`` int32[1] the
-    pattern hash (ops/tables.rk_constants / rk_hash).
-    """
-    pw = jax.lax.bitcast_convert_type(jnp.asarray(powers), jnp.int32)
-    tgt = jax.lax.bitcast_convert_type(
-        jnp.asarray(target).reshape(1), jnp.int32
-    )
-    return _run(text_u8, n, P, m, mode="rk",
-                chunk_bytes=min(chunk_bytes, RK_MAX_CHUNK_BYTES),
-                interpret=interpret, jnp_tail_mask=jnp_tail_mask,
-                rk_scalars=(pw, tgt))
+def screened_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                 interpret: bool = False):
+    """Screened (Boyer-Moore) variant of naive_nib."""
+    return _run(text_u8, n, P, m, mode="screened", chunk_bytes=chunk_bytes,
+                interpret=interpret, return_nib=True)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from ..kernels import shift_and, swar
+from ..kernels import rk_roll, shift_and, swar
 from ..ops import boyer_moore as bm_ops
 from ..ops import kmp as kmp_ops
 from ..ops import naive as naive_ops
@@ -56,18 +56,23 @@ class NaiveMatcher(Matcher):
     def _precompute(self, pat: np.ndarray) -> dict:
         return _swar_tables(pat)
 
+    @classmethod
+    def _direct(cls, text, n, pattern, tables_, config: MatchConfig):
+        m = pattern.shape[0]
+        if not _pallas_enabled(config, m):
+            return None
+        nib, cut = swar.naive_nib(
+            text, text.shape[0], tables_["swar_p"], m,
+            chunk_bytes=config.pallas_chunk_bytes,
+            interpret=config.interpret,
+        )
+        if nib is None:
+            return None
+        tail = naive_ops.naive_start_mask(text[cut:], pattern)
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config)
+
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):
-        m = pattern.shape[0]
-        if _pallas_enabled(config, m):
-            out = swar.naive_mask(
-                text, text.shape[0], tables_["swar_p"], m,
-                chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret,
-                jnp_tail_mask=lambda t: naive_ops.naive_start_mask(t, pattern),
-            )
-            if out is not None:
-                return out
         return naive_ops.naive_start_mask(text, pattern)
 
 
@@ -92,22 +97,78 @@ class RabinKarpMatcher(Matcher):
             **_swar_tables(pat),
         }
 
+    @classmethod
+    def _direct(cls, text, n, pattern, tables_, config: MatchConfig):
+        m = pattern.shape[0]
+        if not (rk_roll.rk_roll_supported(m) and _pallas_backend_ok(config)):
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import emit as _emit
+        from ..ops import tables as _t
+
+        base = config.rk_base if config.rk_base is not None else int(_t.RK_BASE)
+        nib, cut = rk_roll.rk_candidate_mask(
+            text, text.shape[0],
+            tables_["pattern_hash"].reshape(1), m, base,
+            chunk_bytes=config.pallas_chunk_bytes,
+            interpret=config.interpret,
+            return_nib=True,
+        )
+        if nib is None:
+            return None
+        N = text.shape[0]
+        vcap = config.verify_capacity
+        limit_k = jnp.minimum(n - m, cut - 1)
+        n_cand = jnp.sum(
+            (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1),
+            dtype=jnp.int32,
+        )
+
+        def fast(_):
+            # candidate positions -> window gather -> exact verify;
+            # verified positions are already ascending.
+            idx = _emit.nibble_positions(nib, limit_k, vcap, fill=N)
+            padded = jnp.pad(text, (0, m))
+            windows = padded[idx[:, None] + jnp.arange(m)[None, :]]
+            ok = jnp.all(windows == pattern[None, :], axis=1) & (idx < N)
+            c1 = jnp.sum(ok, dtype=jnp.int32)
+            ranks = jnp.cumsum(ok, dtype=jnp.int32) - 1
+            slot = jnp.where(ok, ranks, config.capacity + vcap
+                             + jnp.arange(vcap, dtype=jnp.int32))
+            o1 = (
+                jnp.full((config.capacity,), -1, jnp.int32)
+                .at[slot]
+                .set(idx, mode="drop", unique_indices=True)
+            )
+            return c1, o1, jnp.bool_(False)
+
+        def slow(_):
+            # pathological candidate overflow: fall back to the exact jnp
+            # screen+verify over the kernel region (counts stay exact).
+            mask = rk_ops.rk_start_mask(
+                text, pattern, tables_["powers"], tables_["pattern_hash"],
+                vcap,
+            )
+            mask = mask & (
+                jnp.arange(N, dtype=jnp.int32) <= limit_k
+            )
+            return _emit.mask_to_matches(mask, config.capacity)
+
+        c1, o1, v1 = jax.lax.cond(n_cand <= vcap, fast, slow, operand=None)
+        tail = rk_ops.rk_start_mask(
+            text[cut:], pattern, tables_["powers"], tables_["pattern_hash"],
+            vcap,
+        )
+        tail_valid = _emit.valid_start_mask(tail, n - cut, m)
+        c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)
+        return _emit.merge_region_matches(
+            c1, o1, v1, c2, o2, v2, config.capacity, cut
+        )
+
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):
-        m = pattern.shape[0]
-        if _pallas_enabled(config, m):
-            out = swar.rk_mask(
-                text, text.shape[0], tables_["swar_p"],
-                tables_["powers"], tables_["pattern_hash"], m,
-                chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret,
-                jnp_tail_mask=lambda t: rk_ops.rk_start_mask(
-                    t, pattern, tables_["powers"], tables_["pattern_hash"],
-                    config.verify_capacity,
-                ),
-            )
-            if out is not None:
-                return out
         return rk_ops.rk_start_mask(
             text,
             pattern,
@@ -138,24 +199,30 @@ class KMPMatcher(Matcher):
             t["sa_blo"], t["sa_bhi"] = b[0], b[1]
         return t
 
-    @staticmethod
-    def _mask(text, pattern, tables_, config: MatchConfig):
+    @classmethod
+    def _direct(cls, text, n, pattern, tables_, config: MatchConfig):
         m = pattern.shape[0]
-        if (
+        if not (
             shift_and.shift_and_supported(m)
             and "sa_blo" in tables_
             and _pallas_backend_ok(config)
         ):
-            out = shift_and.kmp_mask(
-                text, text.shape[0], tables_["sa_blo"], tables_["sa_bhi"], m,
-                chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret,
-                jnp_tail_mask=lambda t: kmp_ops.kmp_start_mask(
-                    t, tables_["dfa"], config.kmp_chunk
-                ),
-            )
-            if out is not None:
-                return out
+            return None
+        nib, cut = shift_and.kmp_mask(
+            text, text.shape[0], tables_["sa_blo"], tables_["sa_bhi"], m,
+            chunk_bytes=config.pallas_chunk_bytes,
+            interpret=config.interpret,
+            return_nib=True,
+        )
+        if nib is None:
+            return None
+        tail = kmp_ops.kmp_start_mask(
+            text[cut:], tables_["dfa"], config.kmp_chunk
+        )
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config)
+
+    @staticmethod
+    def _mask(text, pattern, tables_, config: MatchConfig):
         return kmp_ops.kmp_start_mask(text, tables_["dfa"], config.kmp_chunk)
 
 
@@ -186,19 +253,26 @@ class BoyerMooreMatcher(Matcher):
                 tables_["good_suffix"],
                 config.bm_chunk,
             )
-        m = pattern.shape[0]
-        if _pallas_enabled(config, m):
-            # Screened SWAR kernel: the probe screen is the vectorized
-            # bad-character heuristic; sub-blocks with no probe hit skip the
-            # verify loop entirely (tile-granular skip-loop).
-            out = swar.screened_mask(
-                text, text.shape[0], tables_["swar_p"], m,
-                chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret,
-                jnp_tail_mask=lambda t: naive_ops.naive_start_mask(t, pattern),
-            )
-            if out is not None:
-                return out
         return bm_ops.bm_start_mask_filtered(
             text, pattern, config.verify_capacity
         )
+
+    @classmethod
+    def _direct(cls, text, n, pattern, tables_, config: MatchConfig):
+        if config.bm_variant == "cursor":
+            return None
+        m = pattern.shape[0]
+        if not _pallas_enabled(config, m):
+            return None
+        # Screened SWAR kernel: the probe screen is the vectorized
+        # bad-character heuristic; sub-blocks with no probe hit skip the
+        # verify loop entirely (tile-granular skip-loop).
+        nib, cut = swar.screened_nib(
+            text, text.shape[0], tables_["swar_p"], m,
+            chunk_bytes=config.pallas_chunk_bytes,
+            interpret=config.interpret,
+        )
+        if nib is None:
+            return None
+        tail = naive_ops.naive_start_mask(text[cut:], pattern)
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config)

@@ -70,6 +70,29 @@ class Matcher:
         """Traced start-mask computation; must be overridden."""
         raise NotImplementedError
 
+    @classmethod
+    def _direct(cls, text, n, pattern, tables, config: MatchConfig):
+        """Optional fast path: return (count, offsets, overflow) directly
+        (e.g. kernel nibble-mask emission, ops/emit.nibble_to_matches),
+        or None to use the _mask + emit route."""
+        return None
+
+    # -- shared kernel-region + tail merge for _direct implementations ----
+
+    @staticmethod
+    def _merge_nib_tail(nib, cut, n, m, tail_mask, config: MatchConfig):
+        """Combine a kernel start-nibble region [0, cut) with a bool tail
+        mask over [cut, N) into the final (count, offsets, overflow)."""
+        from ..ops import emit as _emit
+
+        limit_k = jnp.minimum(n - m, cut - 1)
+        c1, o1, v1 = _emit.nibble_to_matches(nib, limit_k, config.capacity)
+        tail_valid = _emit.valid_start_mask(tail_mask, n - cut, m)
+        c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)
+        return _emit.merge_region_matches(
+            c1, o1, v1, c2, o2, v2, config.capacity, cut
+        )
+
     # -- execution ----------------------------------------------------------
 
     _jit_cache: dict = {}
@@ -81,6 +104,9 @@ class Matcher:
         if fn is None:
 
             def run(text, n, pattern, tables):
+                direct = cls._direct(text, n, pattern, tables, config)
+                if direct is not None:
+                    return direct
                 mask = cls._mask(text, pattern, tables, config)
                 mask = emit.valid_start_mask(mask, n, pattern.shape[0])
                 return emit.mask_to_matches(mask, config.capacity)

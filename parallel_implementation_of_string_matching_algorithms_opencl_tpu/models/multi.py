@@ -59,13 +59,7 @@ class RabinKarpMultiMatcher:
         if fn is None:
 
             def run(text, n, patterns, tables_):
-                masks = rk_ops.rk_multi_start_masks(
-                    text,
-                    patterns,
-                    tables_["powers"],
-                    tables_["hashes"],
-                    config.verify_capacity,
-                )
+                masks = cls._multi_masks(text, patterns, tables_, config)
                 m = patterns.shape[1]
                 counts, offsets, overflows = [], [], []
                 for p in range(k):
@@ -83,6 +77,57 @@ class RabinKarpMultiMatcher:
             fn = jax.jit(run)
             cls._jit_cache[key] = fn
         return fn
+
+    @staticmethod
+    def _multi_masks(text, patterns, tables_, config: MatchConfig):
+        """bool[k, N] exact start masks — kernel screen when available.
+
+        TPU path: ONE rolling-hash kernel pass compares against all k
+        pattern hashes (kernels/rk_roll.py); the combined candidate mask is
+        then exactly verified per pattern.  Fallback: the jnp shared-hash
+        pass (ops/rabin_karp.rk_multi_start_masks).
+        """
+        from ..kernels import rk_roll
+        from .algorithms import _pallas_backend_ok
+
+        m = patterns.shape[1]
+        k = patterns.shape[0]
+        if rk_roll.rk_roll_supported(m) and _pallas_backend_ok(config):
+            base = (
+                config.rk_base
+                if config.rk_base is not None
+                else int(tables.RK_BASE)
+            )
+            cand, cut = rk_roll.rk_candidate_mask(
+                text, text.shape[0], tables_["hashes"], m, base,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret,
+            )
+            if cand is not None:
+                n_tot = text.shape[0]
+                cand_full = jnp.concatenate(
+                    [cand[:cut], jnp.zeros((n_tot - cut,), jnp.bool_)]
+                )
+                tail_masks = rk_ops.rk_multi_start_masks(
+                    text[cut:], patterns, tables_["powers"],
+                    tables_["hashes"], config.verify_capacity,
+                )
+                outs = []
+                for p in range(k):
+                    verified = rk_ops._verify_candidates(
+                        text, patterns[p], cand_full, config.verify_capacity
+                    )
+                    outs.append(
+                        jnp.concatenate([verified[:cut], tail_masks[p]])
+                    )
+                return jnp.stack(outs, axis=0)
+        return rk_ops.rk_multi_start_masks(
+            text,
+            patterns,
+            tables_["powers"],
+            tables_["hashes"],
+            config.verify_capacity,
+        )
 
     def match(self, data) -> list[MatchResult]:
         arr = as_byte_array(data)

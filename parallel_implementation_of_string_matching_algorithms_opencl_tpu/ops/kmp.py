@@ -37,7 +37,13 @@ def kmp_start_mask(
     """
     n_pos = text.shape[0]
     m = dfa.shape[0] - 1
+    if m > n_pos:
+        return jnp.zeros((n_pos,), jnp.bool_)
     c = min(chunk, n_pos)
+    if m - 1 > c:
+        # A lane's (m-1)-byte tail halo comes from the next chunk only, so
+        # chunks must be at least m-1 long; otherwise scan in a single lane.
+        c = n_pos
     lanes = -(-n_pos // c)  # cdiv
     total = lanes * c
     # Lane l reads bytes [l*c, l*c + c + m - 1); build the overlapped (L, c+m-1)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .emit import masked_positions
 from .naive import naive_start_mask
 
 # Capacity of the candidate-verification gather. True matches are candidates
@@ -59,7 +60,7 @@ def _verify_candidates(
 
     def fast(_):
         padded = jnp.pad(text, (0, m))
-        (idx,) = jnp.nonzero(cand, size=verify_capacity, fill_value=n_pos)
+        idx = masked_positions(cand, verify_capacity, fill=n_pos)
         windows = padded[idx[:, None] + jnp.arange(m)[None, :]]
         ok = jnp.all(windows == pattern[None, :], axis=1) & (idx < n_pos)
         out = jnp.zeros((n_pos,), jnp.bool_)

@@ -23,6 +23,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.base import MatchResult
+from ..ops import emit
 from ..models.registry import get_matcher
 from ..utils.config import DEFAULT_CONFIG, MatchConfig
 from ..utils.io import as_byte_array, pad_to_multiple
@@ -81,8 +82,8 @@ class DistributedMatcher:
             mask = mask & (gpos <= n - m)
 
             local_count = jnp.sum(mask, dtype=jnp.int32)
-            (loc,) = jnp.nonzero(mask, size=cap, fill_value=-1)
-            goff = jnp.where(loc >= 0, loc.astype(jnp.int32) + shard_start, -1)
+            loc = emit.masked_positions(mask, cap)
+            goff = jnp.where(loc >= 0, loc + shard_start, -1)
 
             count = jax.lax.psum(local_count, DATA_AXIS)
             overflowed = jax.lax.psum(

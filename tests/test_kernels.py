@@ -41,7 +41,6 @@ CFG = MatchConfig(
 @pytest.fixture(autouse=True)
 def _small_kernel_floor(monkeypatch):
     monkeypatch.setattr(swar, "MIN_KERNEL_BYTES", 0)
-    monkeypatch.setattr(shift_and, "MIN_KERNEL_BYTES", 0)
 
 
 def test_bitcast_little_endian():
@@ -188,3 +187,20 @@ def test_kernel_dense_matches():
         r = cls(pat, cfg).match(text)
         assert r.count == len(text) - 3, cls.name
         assert r.offsets_list() == list(range(len(text) - 3))
+
+
+@pytest.mark.parametrize("m", [33, 64, 256])
+def test_rk_roll_long_patterns(m):
+    # rolling-hash kernel covers patterns beyond the SWAR/shift-and limits
+    data = bytearray(gen_english(128 * 512 + 65, seed=12))
+    pat = bytes(data[300 : 300 + m])
+    data[51200 - m // 3 : 51200 - m // 3 + m] = pat  # straddle a sub-chunk seam
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert expected
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.algorithms import (
+        RabinKarpMatcher,
+    )
+    r = RabinKarpMatcher(pat, CFG).match(text)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected

@@ -76,6 +76,20 @@ class DistributedMatcher:
                 ext = jnp.concatenate([local_text, nbr])
             else:
                 ext = local_text
+            # Effective local n: global validity (p + shard_start <= n - m)
+            # intersected with ownership (p < shard_len); expressing it as a
+            # local text length lets the kernel _direct path apply it.
+            n_local = jnp.clip(n - shard_start, 0, shard_len + halo)
+            direct = matcher_cls._direct(ext, n_local, pattern, tables, config)
+            if direct is not None:
+                local_count, loc, local_ovf = direct
+                goff = jnp.where(loc >= 0, loc + shard_start, -1)
+                count = jax.lax.psum(local_count, DATA_AXIS)
+                overflowed = jax.lax.psum(
+                    local_ovf.astype(jnp.int32), DATA_AXIS
+                )
+                all_offs = jax.lax.all_gather(goff, DATA_AXIS)  # (D, cap)
+                return count, all_offs, overflowed
             mask = matcher_cls._mask(ext, pattern, tables, config)[:shard_len]
             # Validity: a match may start at global position p iff p <= n - m.
             gpos = shard_start + jnp.arange(shard_len, dtype=jnp.int32)

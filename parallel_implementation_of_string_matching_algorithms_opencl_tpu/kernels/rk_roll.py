@@ -144,9 +144,7 @@ def rk_candidate_mask(text_u8, n, targets, m, base: int, *,
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W // 8 + HS) // 8) * 8
     L = Nk // C
-    words = jax.lax.bitcast_convert_type(
-        text_u8[:Nk].reshape(-1, 4), jnp.int32
-    )
+    words = _swar._as_words(text_u8[:Nk])
     x3e = _layout(words, L, W, HS, G8, front=_delta(m))
     B = int(base) & 0xFFFFFFFF
     Bm = pow(B, m, 1 << 32)

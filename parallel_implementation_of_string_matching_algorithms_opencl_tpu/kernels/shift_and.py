@@ -210,9 +210,7 @@ def kmp_mask(text_u8, n, blo, bhi, m, *,
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W8 + HS) // 8) * 8
     L = Nk // C
-    words = jax.lax.bitcast_convert_type(
-        text_u8[:Nk].reshape(-1, 4), jnp.int32
-    )
+    words = _swar._as_words(text_u8[:Nk])
     x3e = _layout(words, L, W, HS, G8)
     call = _build_call(Nk, C, m, interpret)
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), blo, bhi, x3e)

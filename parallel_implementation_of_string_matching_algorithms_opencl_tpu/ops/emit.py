@@ -38,29 +38,47 @@ def mask_to_matches(mask: jnp.ndarray, capacity: int):
     """
     n = mask.shape[0]
     count = jnp.sum(mask, dtype=jnp.int32)
-    ranks = jnp.cumsum(mask, dtype=jnp.int32) - 1
-    pos = jnp.arange(n, dtype=jnp.int32)
-    idx = jnp.where(mask, ranks, n + capacity + pos)
-    offsets = (
-        jnp.full((capacity,), FILL, jnp.int32)
-        .at[idx]
-        .set(pos, mode="drop", unique_indices=True)
-    )
+    offsets = _rank_select_bool(mask, count, capacity)
     return count, offsets, count > capacity
+
+
+_BLOCK = 128  # bool-mask extraction block (one vector row)
+
+
+def _rank_select_bool(mask: jnp.ndarray, count, capacity: int):
+    """offsets[r] = position of the r-th set bit (ascending, -1 padded).
+
+    Rank-select by block prefix + searchsorted + per-rank row gather: cost
+    scales with ``capacity`` and one cheap reduction pass — a scatter with
+    one update per text position measures ~5 ns/update on TPU (1.3 s for
+    256 MiB), and jnp.nonzero's sort is worse.
+    """
+    n = mask.shape[0]
+    B = _BLOCK
+    nb = -(-n // B)
+    if n % B:
+        mask = jnp.pad(mask, (0, nb * B - n))
+    blk = mask.reshape(nb, B)
+    bsum = jnp.sum(blk, axis=1, dtype=jnp.int32)
+    bpre = jnp.cumsum(bsum, dtype=jnp.int32)  # inclusive
+    r = jnp.arange(capacity, dtype=jnp.int32)
+    bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
+    bi_c = jnp.minimum(bi, nb - 1)
+    prev = bpre[bi_c] - bsum[bi_c]
+    rows = blk[bi_c].astype(jnp.int32)          # (capacity, B)
+    wcum = jnp.cumsum(rows, axis=1)
+    r_in = (r - prev)[:, None]
+    wi = jnp.sum((wcum <= r_in).astype(jnp.int32), axis=1)
+    pos = bi_c * B + wi
+    return jnp.where(r < count, pos, FILL)
 
 
 def masked_positions(mask: jnp.ndarray, capacity: int, fill: int = FILL):
     """First ``capacity`` positions where mask is True, ascending, padded
-    with ``fill`` — same scatter-based extraction as mask_to_matches."""
-    n = mask.shape[0]
-    ranks = jnp.cumsum(mask, dtype=jnp.int32) - 1
-    pos = jnp.arange(n, dtype=jnp.int32)
-    idx = jnp.where(mask, ranks, n + capacity + pos)
-    return (
-        jnp.full((capacity,), fill, jnp.int32)
-        .at[idx]
-        .set(pos, mode="drop", unique_indices=True)
-    )
+    with ``fill`` — same rank-select extraction as mask_to_matches."""
+    count = jnp.sum(mask, dtype=jnp.int32)
+    out = _rank_select_bool(mask, count, capacity)
+    return jnp.where(out >= 0, out, fill)
 
 
 def valid_start_mask(mask: jnp.ndarray, n: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -95,28 +113,39 @@ def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int):
     """
     nib = nibble_valid(nib, limit)
     nw = nib.shape[0]
-    b0 = nib & 1
-    b1 = (nib >> 1) & 1
-    b2 = (nib >> 2) & 1
-    b3 = (nib >> 3) & 1
-    pc = b0 + b1 + b2 + b3
+    B = 32  # words per rank-select block (128 bytes of text)
+    nb = -(-nw // B)
+    if nw % B:
+        nib = jnp.pad(nib, (0, nb * B - nw))
+    pc = (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1)
     count = jnp.sum(pc, dtype=jnp.int32)
-    prefix = jnp.cumsum(pc, dtype=jnp.int32) - pc  # exclusive prefix ranks
-    word_pos = jnp.arange(nw, dtype=jnp.int32) * 4
-    # unique out-of-range band for non-matches: capacity + 4N + 4w + b
-    big = capacity + 4 * nw + word_pos
-    out = jnp.full((capacity,), FILL, jnp.int32)
-
-    def put(out, bit, local_rank, b):
-        idx = jnp.where(bit == 1, prefix + local_rank, big + b)
-        return out.at[idx].set(
-            word_pos + b, mode="drop", unique_indices=True
-        )
-
-    out = put(out, b0, 0, 0)
-    out = put(out, b1, b0, 1)
-    out = put(out, b2, b0 + b1, 2)
-    out = put(out, b3, b0 + b1 + b2, 3)
+    blk = pc.reshape(nb, B)
+    bsum = jnp.sum(blk, axis=1, dtype=jnp.int32)
+    bpre = jnp.cumsum(bsum, dtype=jnp.int32)  # inclusive
+    r = jnp.arange(capacity, dtype=jnp.int32)
+    bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
+    bi_c = jnp.minimum(bi, nb - 1)
+    prev = bpre[bi_c] - bsum[bi_c]
+    rows_pc = blk[bi_c]                        # (capacity, B)
+    rows_nib = nib.reshape(nb, B)[bi_c]        # (capacity, B)
+    wcum = jnp.cumsum(rows_pc, axis=1)
+    r_in = r - prev
+    wi = jnp.sum((wcum <= r_in[:, None]).astype(jnp.int32), axis=1)
+    word_nib = jnp.take_along_axis(rows_nib, wi[:, None], axis=1)[:, 0]
+    before = jnp.where(
+        wi > 0,
+        jnp.take_along_axis(wcum, jnp.maximum(wi - 1, 0)[:, None], axis=1)[:, 0],
+        0,
+    )
+    r_w = r_in - before  # rank within the word (0..3)
+    c0 = word_nib & 1
+    c01 = c0 + ((word_nib >> 1) & 1)
+    c012 = c01 + ((word_nib >> 2) & 1)
+    bit = jnp.where(
+        r_w < c0, 0, jnp.where(r_w < c01, 1, jnp.where(r_w < c012, 2, 3))
+    )
+    pos = (bi_c * B + wi) * 4 + bit
+    out = jnp.where(r < count, pos, FILL)
     return count, out, count > capacity
 
 

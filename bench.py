@@ -31,21 +31,25 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
     matcher = get_matcher(algo)(pattern, cfg)
     runner = matcher._runner(cfg)
     text_dev = jax.device_put(jnp.asarray(text_np))
+    words_dev = jax.device_put(jnp.asarray(text_np.view(np.int32)))
     pat_dev = jax.device_put(jnp.asarray(matcher.pattern_arr))
     tables_dev = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a)), matcher.tables)
-    n_dev = jnp.int32(n)
 
     # Warmup / compile.
     t0 = time.perf_counter()
-    out = runner(text_dev, n_dev, pat_dev, tables_dev)
+    out = runner(text_dev, words_dev, jnp.int32(n), pat_dev, tables_dev)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
 
     # Pipelined timing: dispatch ``iters`` calls, sync once.  The axon
     # tunnel adds ~45ms round-trip latency per host sync, which would
-    # otherwise dominate; amortizing it measures device throughput.
+    # otherwise dominate; amortizing it measures device throughput.  The
+    # n argument varies per dispatch so no layer can cache identical calls.
     t0 = time.perf_counter()
-    outs = [runner(text_dev, n_dev, pat_dev, tables_dev) for _ in range(iters)]
+    outs = [
+        runner(text_dev, words_dev, jnp.int32(n - it), pat_dev, tables_dev)
+        for it in range(iters)
+    ]
     jax.block_until_ready(outs[-1])
     per_call = (time.perf_counter() - t0) / iters
     return {

@@ -127,7 +127,8 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
 
 def rk_candidate_mask(text_u8, n, targets, m, base: int, *,
                       chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                      interpret: bool = False, return_nib: bool = False):
+                      interpret: bool = False, return_nib: bool = False,
+                      words=None):
     """(candidate start mask bool[Nk], cut) from the rolling-hash screen,
     or (None, 0) below the kernel threshold.
 
@@ -144,7 +145,10 @@ def rk_candidate_mask(text_u8, n, targets, m, base: int, *,
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W // 8 + HS) // 8) * 8
     L = Nk // C
-    words = _swar._as_words(text_u8[:Nk])
+    if words is None:
+        words = _swar._as_words(text_u8[:Nk])
+    else:
+        words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8, front=_delta(m))
     B = int(base) & 0xFFFFFFFF
     Bm = pow(B, m, 1 << 32)

@@ -195,7 +195,7 @@ def end_nibble3_to_start_mask(nibE: jnp.ndarray, Cp: int, m: int):
 def kmp_mask(text_u8, n, blo, bhi, m, *,
              chunk_bytes: int = DEFAULT_CHUNK_BYTES,
              interpret: bool = False, jnp_tail_mask=None,
-             return_nib: bool = False):
+             return_nib: bool = False, words=None):
     """bool[N] start mask via the Shift-AND prefix automaton, or None if
     the input is below the kernel threshold.  ``blo``/``bhi`` come from
     ``b_table`` (tables dict).  Validity for n is applied downstream."""
@@ -210,7 +210,10 @@ def kmp_mask(text_u8, n, blo, bhi, m, *,
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W8 + HS) // 8) * 8
     L = Nk // C
-    words = _swar._as_words(text_u8[:Nk])
+    if words is None:
+        words = _swar._as_words(text_u8[:Nk])
+    else:
+        words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)
     call = _build_call(Nk, C, m, interpret)
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), blo, bhi, x3e)

@@ -355,7 +355,8 @@ def nibble_to_bool(nib: jnp.ndarray) -> jnp.ndarray:
 
 
 def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
-         interpret: bool, jnp_tail_mask=None, return_nib: bool = False):
+         interpret: bool, jnp_tail_mask=None, return_nib: bool = False,
+         words=None):
     """Shared driver: kernel over the largest aligned prefix, jnp fallback
     over the tail, bool-mask concatenation.
 
@@ -377,7 +378,10 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     if Nk < max(tile_bytes, MIN_KERNEL_BYTES):
         return (None, 0) if return_nib else None  # caller falls back
 
-    words = _as_words(text_u8[:Nk])
+    if words is None:
+        words = _as_words(text_u8[:Nk])  # device repack: ~60ms/256MB on TPU
+    else:
+        words = words[: Nk // 4]  # host-viewed int32 of the same buffer
     W = C // 4
     L = Nk // C
     x = words.reshape(L, W)
@@ -415,15 +419,16 @@ def screened_mask(text_u8, n, P, m, *,
 
 
 def naive_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-              interpret: bool = False):
+              interpret: bool = False, words=None):
     """(int32[Nk/4] start-nibble mask, cut) or (None, 0) — the zero-copy
-    result path (see ops/emit.py nibble_to_matches)."""
+    result path (see ops/emit.py nibble_to_matches).  Pass ``words`` (the
+    host int32 view of the text buffer) to skip the device repack."""
     return _run(text_u8, n, P, m, mode="naive", chunk_bytes=chunk_bytes,
-                interpret=interpret, return_nib=True)
+                interpret=interpret, return_nib=True, words=words)
 
 
 def screened_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                 interpret: bool = False):
+                 interpret: bool = False, words=None):
     """Screened (Boyer-Moore) variant of naive_nib."""
     return _run(text_u8, n, P, m, mode="screened", chunk_bytes=chunk_bytes,
-                interpret=interpret, return_nib=True)
+                interpret=interpret, return_nib=True, words=words)

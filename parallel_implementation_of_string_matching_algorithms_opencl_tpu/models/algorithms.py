@@ -57,14 +57,14 @@ class NaiveMatcher(Matcher):
         return _swar_tables(pat)
 
     @classmethod
-    def _direct(cls, text, n, pattern, tables_, config: MatchConfig):
+    def _direct(cls, text, words, n, pattern, tables_, config: MatchConfig):
         m = pattern.shape[0]
         if not _pallas_enabled(config, m):
             return None
         nib, cut = swar.naive_nib(
             text, text.shape[0], tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret,
+            interpret=config.interpret, words=words,
         )
         if nib is None:
             return None
@@ -98,7 +98,7 @@ class RabinKarpMatcher(Matcher):
         }
 
     @classmethod
-    def _direct(cls, text, n, pattern, tables_, config: MatchConfig):
+    def _direct(cls, text, words, n, pattern, tables_, config: MatchConfig):
         m = pattern.shape[0]
         if not (rk_roll.rk_roll_supported(m) and _pallas_backend_ok(config)):
             return None
@@ -114,7 +114,7 @@ class RabinKarpMatcher(Matcher):
             tables_["pattern_hash"].reshape(1), m, base,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret,
-            return_nib=True,
+            return_nib=True, words=words,
         )
         if nib is None:
             return None
@@ -200,7 +200,7 @@ class KMPMatcher(Matcher):
         return t
 
     @classmethod
-    def _direct(cls, text, n, pattern, tables_, config: MatchConfig):
+    def _direct(cls, text, words, n, pattern, tables_, config: MatchConfig):
         m = pattern.shape[0]
         if not (
             shift_and.shift_and_supported(m)
@@ -212,7 +212,7 @@ class KMPMatcher(Matcher):
             text, text.shape[0], tables_["sa_blo"], tables_["sa_bhi"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret,
-            return_nib=True,
+            return_nib=True, words=words,
         )
         if nib is None:
             return None
@@ -258,7 +258,7 @@ class BoyerMooreMatcher(Matcher):
         )
 
     @classmethod
-    def _direct(cls, text, n, pattern, tables_, config: MatchConfig):
+    def _direct(cls, text, words, n, pattern, tables_, config: MatchConfig):
         if config.bm_variant == "cursor":
             return None
         m = pattern.shape[0]
@@ -270,7 +270,7 @@ class BoyerMooreMatcher(Matcher):
         nib, cut = swar.screened_nib(
             text, text.shape[0], tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret,
+            interpret=config.interpret, words=words,
         )
         if nib is None:
             return None

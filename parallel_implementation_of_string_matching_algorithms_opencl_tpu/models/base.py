@@ -71,10 +71,12 @@ class Matcher:
         raise NotImplementedError
 
     @classmethod
-    def _direct(cls, text, n, pattern, tables, config: MatchConfig):
+    def _direct(cls, text, words, n, pattern, tables, config: MatchConfig):
         """Optional fast path: return (count, offsets, overflow) directly
-        (e.g. kernel nibble-mask emission, ops/emit.nibble_to_matches),
-        or None to use the _mask + emit route."""
+        (e.g. kernel nibble-mask emission, ops/emit.nibble_to_matches), or
+        None to use the _mask + emit route.  ``words`` is the int32 view
+        of the text buffer (host-provided; device repack costs ~60ms/256MB)
+        or None."""
         return None
 
     # -- shared kernel-region + tail merge for _direct implementations ----
@@ -103,8 +105,8 @@ class Matcher:
         fn = Matcher._jit_cache.get(key)
         if fn is None:
 
-            def run(text, n, pattern, tables):
-                direct = cls._direct(text, n, pattern, tables, config)
+            def run(text, words, n, pattern, tables):
+                direct = cls._direct(text, words, n, pattern, tables, config)
                 if direct is not None:
                     return direct
                 mask = cls._mask(text, pattern, tables, config)
@@ -126,7 +128,11 @@ class Matcher:
         n = len(arr)
         padded = pad_to_multiple(arr, self.config.pad_multiple)
         count, offsets, overflow = self._runner(self.config)(
-            jnp.asarray(padded), jnp.int32(n), jnp.asarray(self.pattern_arr), self.tables
+            jnp.asarray(padded),
+            jnp.asarray(padded.view(np.int32)),  # same bytes, zero-copy view
+            jnp.int32(n),
+            jnp.asarray(self.pattern_arr),
+            self.tables,
         )
         count = int(count)
         kept = min(count, self.config.capacity)

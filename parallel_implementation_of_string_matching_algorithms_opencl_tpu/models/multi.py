@@ -58,8 +58,8 @@ class RabinKarpMultiMatcher:
         fn = cls._jit_cache.get(key)
         if fn is None:
 
-            def run(text, n, patterns, tables_):
-                masks = cls._multi_masks(text, patterns, tables_, config)
+            def run(text, words, n, patterns, tables_):
+                masks = cls._multi_masks(text, words, patterns, tables_, config)
                 m = patterns.shape[1]
                 counts, offsets, overflows = [], [], []
                 for p in range(k):
@@ -79,7 +79,7 @@ class RabinKarpMultiMatcher:
         return fn
 
     @staticmethod
-    def _multi_masks(text, patterns, tables_, config: MatchConfig):
+    def _multi_masks(text, words, patterns, tables_, config: MatchConfig):
         """bool[k, N] exact start masks — kernel screen when available.
 
         TPU path: ONE rolling-hash kernel pass compares against all k
@@ -101,7 +101,7 @@ class RabinKarpMultiMatcher:
             cand, cut = rk_roll.rk_candidate_mask(
                 text, text.shape[0], tables_["hashes"], m, base,
                 chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret,
+                interpret=config.interpret, words=words,
             )
             if cand is not None:
                 n_tot = text.shape[0]
@@ -135,6 +135,7 @@ class RabinKarpMultiMatcher:
         padded = pad_to_multiple(arr, self.config.pad_multiple)
         counts, offsets, overflows = self._runner(self.config, self.k)(
             jnp.asarray(padded),
+            jnp.asarray(padded.view(np.int32)),
             jnp.int32(n),
             jnp.asarray(self.pattern_arr),
             self.tables,

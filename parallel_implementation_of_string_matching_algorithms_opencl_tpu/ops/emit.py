@@ -113,7 +113,7 @@ def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int):
     """
     nib = nibble_valid(nib, limit)
     nw = nib.shape[0]
-    B = 32  # words per rank-select block (128 bytes of text)
+    B = 128  # words per block — keep the minor dim a full 128-lane row
     nb = -(-nw // B)
     if nw % B:
         nib = jnp.pad(nib, (0, nb * B - nw))

@@ -61,26 +61,33 @@ class DistributedMatcher:
         halo = m - 1
         cap = config.capacity
 
-        def shard_body(local_text, n, pattern, tables):
+        halo_w = -(-halo // 4)  # word halo covering the byte halo
+
+        def shard_body(local_text, local_words, n, pattern, tables):
             shard_len = local_text.shape[0]
             idx = jax.lax.axis_index(DATA_AXIS)
             shard_start = idx * shard_len
+            perm = [(i, i - 1) for i in range(1, mesh.shape[DATA_AXIS])]
             if halo > 0:
-                # Left neighbor receives my first (m-1) bytes; the last shard
-                # gets zeros (text end — killed by the validity mask).
-                nbr = jax.lax.ppermute(
-                    local_text[:halo],
-                    DATA_AXIS,
-                    perm=[(i, i - 1) for i in range(1, mesh.shape[DATA_AXIS])],
-                )
+                # Left neighbor receives my first (m-1) bytes (and the
+                # covering words); the last shard gets zeros (text end —
+                # killed by the validity mask).
+                nbr = jax.lax.ppermute(local_text[:halo], DATA_AXIS, perm=perm)
                 ext = jnp.concatenate([local_text, nbr])
+                nbr_w = jax.lax.ppermute(
+                    local_words[:halo_w], DATA_AXIS, perm=perm
+                )
+                ext_w = jnp.concatenate([local_words, nbr_w])
             else:
                 ext = local_text
+                ext_w = local_words
             # Effective local n: global validity (p + shard_start <= n - m)
             # intersected with ownership (p < shard_len); expressing it as a
             # local text length lets the kernel _direct path apply it.
             n_local = jnp.clip(n - shard_start, 0, shard_len + halo)
-            direct = matcher_cls._direct(ext, n_local, pattern, tables, config)
+            direct = matcher_cls._direct(
+                ext, ext_w, n_local, pattern, tables, config
+            )
             if direct is not None:
                 local_count, loc, local_ovf = direct
                 goff = jnp.where(loc >= 0, loc + shard_start, -1)
@@ -109,7 +116,7 @@ class DistributedMatcher:
         mapped = shard_map(
             shard_body,
             mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(), P(), P()),
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
             out_specs=(P(), P(), P()),
             # The all_gather output IS replicated, but shard_map's static
             # varying-axes inference cannot prove it; disable the check.
@@ -127,9 +134,13 @@ class DistributedMatcher:
         padded = pad_to_multiple(arr, self.config.pad_multiple * self.n_shards)
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         text_dev = jax.device_put(jnp.asarray(padded), sharding)
+        words_dev = jax.device_put(
+            jnp.asarray(padded.view(np.int32)), sharding
+        )
         runner = self._build(self.mesh, type(self.matcher), self.config, self.m)
         count, all_offs, overflowed = runner(
             text_dev,
+            words_dev,
             jnp.int32(n),
             jnp.asarray(self.matcher.pattern_arr),
             jax.tree.map(jnp.asarray, self.matcher.tables),

@@ -163,7 +163,11 @@ class StreamingMatcher:
             # exactly the owned starts).
             n_eff = min(valid_n, self.chunk_bytes + self.m - 1)
             count, offsets, ovf = self._runner(
-                jnp.asarray(buf), jnp.int32(n_eff), self._pat_dev, self._tables_dev
+                jnp.asarray(buf),
+                jnp.asarray(buf.view(np.int32)),
+                jnp.int32(n_eff),
+                self._pat_dev,
+                self._tables_dev,
             )
             this = _Pending(ci, start, count, offsets, ovf)
             if pending is not None:

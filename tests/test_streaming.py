@@ -84,7 +84,11 @@ def test_stream_resume(corpus, tmp_path):
             break
         n_eff = min(valid_n, CHUNK + sm.m - 1)
         count, offsets, ovf = sm._runner(
-            jnp.asarray(buf), jnp.int32(n_eff), sm._pat_dev, sm._tables_dev
+            jnp.asarray(buf),
+            jnp.asarray(buf.view(np.int32)),
+            jnp.int32(n_eff),
+            sm._pat_dev,
+            sm._tables_dev,
         )
         o = np.asarray(offsets)
         total += int(count)

@@ -90,14 +90,23 @@ def pattern_words(pattern: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return P.view(np.int32), mask_words(m)
 
 
-def _probe_indices(M: np.ndarray) -> list[int]:
-    """Per-alignment probe word index for the screen: prefer an interior
-    (all-ones-mask) word — mask-free compare and 4 fully-constrained bytes."""
+def _probe_indices(M: np.ndarray) -> tuple:
+    """Per-alignment probe word indices for the screen.
+
+    Up to two interior (all-ones-mask) words, maximally separated — eight
+    fully-constrained bytes make sub-block skips frequent even on natural-
+    language text where any 4-byte pattern fragment recurs constantly.
+    Falls back to masked word 0 for tiny patterns."""
     out = []
     for a in range(4):
         full = np.nonzero(M[a] == -1)[0]
-        out.append(int(full[0]) if len(full) else 0)
-    return out
+        if len(full) >= 2:
+            out.append((int(full[0]), int(full[-1])))
+        elif len(full) == 1:
+            out.append((int(full[0]),))
+        else:
+            out.append((0,))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -246,15 +255,19 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     ext_ref[:, W:] = h_ref[:]
     ext = ext_ref[:]
 
-    # Screen: one probe word per alignment over the whole tile (vectorized).
+    # Screen: the probe words per alignment over the whole tile
+    # (vectorized); a position survives only if ALL its alignment's probes
+    # match, and the tile screen is the OR across alignments.
     scr = None
     for a in range(4):
-        k = probes[a]
-        w = ext[:, k : k + W]
-        eq = (w == P_ref[a, k]) if Mnp[a, k] == -1 else (
-            (w & M_ref[a, k]) == P_ref[a, k]
-        )
-        scr = eq if scr is None else (scr | eq)
+        acc = None
+        for k in probes[a]:
+            w = ext[:, k : k + W]
+            eq = (w == P_ref[a, k]) if Mnp[a, k] == -1 else (
+                (w & M_ref[a, k]) == P_ref[a, k]
+            )
+            acc = eq if acc is None else (acc & eq)
+        scr = acc if scr is None else (scr | acc)
     scr_ref[:] = scr.astype(jnp.int32)
     nib_ref[:] = jnp.zeros((128, W), jnp.int32)
 

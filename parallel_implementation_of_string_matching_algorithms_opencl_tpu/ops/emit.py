@@ -38,8 +38,34 @@ def mask_to_matches(mask: jnp.ndarray, capacity: int):
     """
     n = mask.shape[0]
     count = jnp.sum(mask, dtype=jnp.int32)
-    offsets = _rank_select_bool(mask, count, capacity)
+    offsets = _adaptive(
+        lambda cap: _rank_select_bool(mask, count, cap), count, capacity
+    )
     return count, offsets, count > capacity
+
+
+# Extraction cost scales with the rank count extracted (the per-rank row
+# gather dominates); most runs have far fewer matches than the offset
+# capacity, so extract through a small tier first and only fall back to the
+# full-capacity extraction when the count demands it.
+_SMALL_CAP = 4096
+
+
+def _adaptive(extract, count, capacity: int):
+    if capacity <= _SMALL_CAP:
+        return extract(capacity)
+    import jax
+
+    def small(_):
+        out = extract(_SMALL_CAP)
+        return jnp.concatenate(
+            [out, jnp.full((capacity - _SMALL_CAP,), FILL, jnp.int32)]
+        )
+
+    def full(_):
+        return extract(capacity)
+
+    return jax.lax.cond(count <= _SMALL_CAP, small, full, operand=None)
 
 
 _BLOCK = 128  # bool-mask extraction block (one vector row)
@@ -122,30 +148,36 @@ def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int):
     blk = pc.reshape(nb, B)
     bsum = jnp.sum(blk, axis=1, dtype=jnp.int32)
     bpre = jnp.cumsum(bsum, dtype=jnp.int32)  # inclusive
-    r = jnp.arange(capacity, dtype=jnp.int32)
-    bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
-    bi_c = jnp.minimum(bi, nb - 1)
-    prev = bpre[bi_c] - bsum[bi_c]
-    rows_pc = blk[bi_c]                        # (capacity, B)
-    rows_nib = nib.reshape(nb, B)[bi_c]        # (capacity, B)
-    wcum = jnp.cumsum(rows_pc, axis=1)
-    r_in = r - prev
-    wi = jnp.sum((wcum <= r_in[:, None]).astype(jnp.int32), axis=1)
-    word_nib = jnp.take_along_axis(rows_nib, wi[:, None], axis=1)[:, 0]
-    before = jnp.where(
-        wi > 0,
-        jnp.take_along_axis(wcum, jnp.maximum(wi - 1, 0)[:, None], axis=1)[:, 0],
-        0,
-    )
-    r_w = r_in - before  # rank within the word (0..3)
-    c0 = word_nib & 1
-    c01 = c0 + ((word_nib >> 1) & 1)
-    c012 = c01 + ((word_nib >> 2) & 1)
-    bit = jnp.where(
-        r_w < c0, 0, jnp.where(r_w < c01, 1, jnp.where(r_w < c012, 2, 3))
-    )
-    pos = (bi_c * B + wi) * 4 + bit
-    out = jnp.where(r < count, pos, FILL)
+
+    def extract(cap):
+        r = jnp.arange(cap, dtype=jnp.int32)
+        bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
+        bi_c = jnp.minimum(bi, nb - 1)
+        prev = bpre[bi_c] - bsum[bi_c]
+        rows_pc = blk[bi_c]                        # (cap, B)
+        rows_nib = nib.reshape(nb, B)[bi_c]        # (cap, B)
+        wcum = jnp.cumsum(rows_pc, axis=1)
+        r_in = r - prev
+        wi = jnp.sum((wcum <= r_in[:, None]).astype(jnp.int32), axis=1)
+        word_nib = jnp.take_along_axis(rows_nib, wi[:, None], axis=1)[:, 0]
+        before = jnp.where(
+            wi > 0,
+            jnp.take_along_axis(
+                wcum, jnp.maximum(wi - 1, 0)[:, None], axis=1
+            )[:, 0],
+            0,
+        )
+        r_w = r_in - before  # rank within the word (0..3)
+        c0 = word_nib & 1
+        c01 = c0 + ((word_nib >> 1) & 1)
+        c012 = c01 + ((word_nib >> 2) & 1)
+        bit = jnp.where(
+            r_w < c0, 0, jnp.where(r_w < c01, 1, jnp.where(r_w < c012, 2, 3))
+        )
+        pos = (bi_c * B + wi) * 4 + bit
+        return jnp.where(r < count, pos, FILL)
+
+    out = _adaptive(extract, count, capacity)
     return count, out, count > capacity
 
 

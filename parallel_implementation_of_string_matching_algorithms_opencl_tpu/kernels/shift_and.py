@@ -47,7 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 from . import swar as _swar
 from .swar import DEFAULT_CHUNK_BYTES
 
-MAX_SHIFT_AND_PATTERN = 32  # one int32 state word per lane
+# State words per lane: K = ceil(m/32).  Gather cost grows with K (two
+# dynamic_gathers per state word per byte), so the kernel serves m <= 128;
+# the dense-DFA jnp path covers longer patterns.
+MAX_STATE_WORDS = 4
+MAX_SHIFT_AND_PATTERN = 32 * MAX_STATE_WORDS
 
 
 def shift_and_supported(m: int) -> bool:
@@ -55,27 +59,31 @@ def shift_and_supported(m: int) -> bool:
 
 
 def b_table(pattern: np.ndarray) -> np.ndarray:
-    """int32[2, 8, 128]: lane-replicated B-table halves.
+    """int32[K, 2, 8, 128]: lane-replicated B-table halves per state word.
 
-    B[c] bit j == (pattern[j] == c); halves [0]=c<128, [1]=c>=128, each
-    broadcast across the 8 sublanes so a lane-wise dynamic_gather with
+    B_k[c] bit j == (pattern[32k + j] == c); halves [0]=c<128, [1]=c>=128,
+    each broadcast across the 8 sublanes so a lane-wise dynamic_gather with
     indices (c & 127) reads it directly.
     """
     pat = np.asarray(pattern, dtype=np.uint8)
-    B = np.zeros(256, dtype=np.uint32)
+    m = len(pat)
+    K = max(1, -(-m // 32))
+    B = np.zeros((K, 256), dtype=np.uint32)
     for j, c in enumerate(pat):
-        B[c] |= np.uint32(1) << np.uint32(j)
-    halves = B.view(np.int32).reshape(2, 128)
-    return np.broadcast_to(halves[:, None, :], (2, 8, 128)).copy()
+        B[j // 32, c] |= np.uint32(1) << np.uint32(j % 32)
+    halves = B.view(np.int32).reshape(K, 2, 128)
+    return np.broadcast_to(halves[:, :, None, :], (K, 2, 8, 128)).copy()
 
 
-def _kernel(n_ref, blo_ref, bhi_ref, x3_ref, nibE_ref, *, G, m):
+def _kernel(n_ref, bt_ref, x3_ref, nibE_ref, *, G, m, K):
     """x3_ref: (8, G*8, 128) words — sub-chunk s of chunk l at [s, :, l],
     zero-padded past the (W8 + HS) real words.
     nibE_ref: (8, G*8, 128) int32 — bit b of [s, g, l] = match ENDING at
-    scan byte 4*g+b of sub-chunk s of chunk l."""
-    blo = blo_ref[:]
-    bhi = bhi_ref[:]
+    scan byte 4*g+b of sub-chunk s of chunk l.
+    bt_ref: (K, 2, 8, 128) B-table halves; state spans K int32 words with
+    the shift carry rippling from word k-1's bit 31 into word k's bit 0."""
+    halves = [(bt_ref[k, 0], bt_ref[k, 1]) for k in range(K)]
+    hi_bit = (m - 1) % 32
 
     def group(g, D):
         base = pl.multiple_of(g * 8, 8)
@@ -86,17 +94,30 @@ def _kernel(n_ref, blo_ref, bhi_ref, x3_ref, nibE_ref, *, G, m):
             nib = jnp.zeros((8, 128), jnp.int32)
             for b in range(4):
                 c = (wv >> (8 * b)) & 0xFF
-                g_lo = jnp.take_along_axis(blo, c & 127, axis=1)
-                g_hi = jnp.take_along_axis(bhi, c & 127, axis=1)
-                Bc = jnp.where(c < 128, g_lo, g_hi)
-                D = ((D << 1) | 1) & Bc
-                hit = jax.lax.shift_right_logical(D, m - 1) & 1
+                ci = c & 127
+                is_lo = c < 128
+                carries = [jnp.int32(1)] + [
+                    jax.lax.shift_right_logical(D[k - 1], 31) & 1
+                    for k in range(1, K)
+                ]
+                D = tuple(
+                    ((D[k] << 1) | carries[k])
+                    & jnp.where(
+                        is_lo,
+                        jnp.take_along_axis(halves[k][0], ci, axis=1),
+                        jnp.take_along_axis(halves[k][1], ci, axis=1),
+                    )
+                    for k in range(K)
+                )
+                hit = jax.lax.shift_right_logical(D[K - 1], hi_bit) & 1
                 nib |= hit << b
             nibs.append(nib)
         nibE_ref[:, pl.ds(base, 8), :] = jnp.stack(nibs, axis=1)
         return D
 
-    jax.lax.fori_loop(0, G, group, jnp.zeros((8, 128), jnp.int32))
+    jax.lax.fori_loop(
+        0, G, group, tuple(jnp.zeros((8, 128), jnp.int32) for _ in range(K))
+    )
 
 
 @functools.lru_cache(maxsize=256)
@@ -105,21 +126,21 @@ def _build_call(Nk: int, C: int, m: int, interpret: bool):
     HS = max(1, -(-(m - 1) // 4))
     G = -(-(W8 + HS) // 8)
     G8 = G * 8
+    K = max(1, -(-m // 32))
     L = Nk // C
     nt = L // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # n (interface symmetry with swar kernels)
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # blo (8,128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bhi (8,128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # B tables (K,2,8,128)
             pl.BlockSpec((8, G8, 128), lambda i, n: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, G8, 128), lambda i, n: (0, 0, i),
                                memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_kernel, G=G, m=m)
+    kern = functools.partial(_kernel, G=G, m=m, K=K)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -192,13 +213,13 @@ def end_nibble3_to_start_mask(nibE: jnp.ndarray, Cp: int, m: int):
     return starts.reshape(-1)
 
 
-def kmp_mask(text_u8, n, blo, bhi, m, *,
+def kmp_mask(text_u8, n, bt, m, *,
              chunk_bytes: int = DEFAULT_CHUNK_BYTES,
              interpret: bool = False, jnp_tail_mask=None,
              return_nib: bool = False, words=None):
     """bool[N] start mask via the Shift-AND prefix automaton, or None if
-    the input is below the kernel threshold.  ``blo``/``bhi`` come from
-    ``b_table`` (tables dict).  Validity for n is applied downstream."""
+    the input is below the kernel threshold.  ``bt`` is the (K,2,8,128)
+    table from ``b_table``.  Validity for n is applied downstream."""
     N = text_u8.shape[0]
     C = chunk_bytes
     tile_bytes = 128 * C
@@ -216,7 +237,7 @@ def kmp_mask(text_u8, n, blo, bhi, m, *,
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)
     call = _build_call(Nk, C, m, interpret)
-    nibE = call(jnp.asarray(n, jnp.int32).reshape(1), blo, bhi, x3e)
+    nibE = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
     if return_nib:
         return end_nibble3_to_start_nib(nibE, C // 8, m), cut

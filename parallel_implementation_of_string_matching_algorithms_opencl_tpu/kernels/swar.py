@@ -271,7 +271,11 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     scr_ref[:] = scr.astype(jnp.int32)
     nib_ref[:] = jnp.zeros((128, W), jnp.int32)
 
-    _verify_loop(P_ref, M_ref, nib_ref, ext_ref, scr_ref, W=W, Mnp=Mnp)
+    # Tile-level skip first (the per-sub-block loop alone costs ~5ms/256MB
+    # in branch overhead); most tiles have no screen hit at all.
+    @pl.when(jnp.any(scr_ref[:] != 0))
+    def _():
+        _verify_loop(P_ref, M_ref, nib_ref, ext_ref, scr_ref, W=W, Mnp=Mnp)
 
     i = pl.program_id(0)
     tile_last = (i + 1) * (128 * C) - 1

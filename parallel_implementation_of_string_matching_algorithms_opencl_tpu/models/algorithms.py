@@ -126,23 +126,28 @@ class RabinKarpMatcher(Matcher):
             dtype=jnp.int32,
         )
 
-        def fast(_):
+        padded = jnp.pad(text, (0, m))
+
+        def fast(cap):
             # candidate positions -> window gather -> exact verify;
-            # verified positions are already ascending.
-            idx = _emit.nibble_positions(nib, limit_k, vcap, fill=N)
-            padded = jnp.pad(text, (0, m))
-            windows = padded[idx[:, None] + jnp.arange(m)[None, :]]
-            ok = jnp.all(windows == pattern[None, :], axis=1) & (idx < N)
-            c1 = jnp.sum(ok, dtype=jnp.int32)
-            ranks = jnp.cumsum(ok, dtype=jnp.int32) - 1
-            slot = jnp.where(ok, ranks, config.capacity + vcap
-                             + jnp.arange(vcap, dtype=jnp.int32))
-            o1 = (
-                jnp.full((config.capacity,), -1, jnp.int32)
-                .at[slot]
-                .set(idx, mode="drop", unique_indices=True)
-            )
-            return c1, o1, jnp.bool_(False)
+            # verified positions are already ascending.  The gather cost
+            # scales with ``cap``, hence the tiers below.
+            def run(_):
+                idx = _emit.nibble_positions(nib, limit_k, cap, fill=N)
+                windows = padded[idx[:, None] + jnp.arange(m)[None, :]]
+                ok = jnp.all(windows == pattern[None, :], axis=1) & (idx < N)
+                c1 = jnp.sum(ok, dtype=jnp.int32)
+                ranks = jnp.cumsum(ok, dtype=jnp.int32) - 1
+                slot = jnp.where(ok, ranks, config.capacity + cap
+                                 + jnp.arange(cap, dtype=jnp.int32))
+                o1 = (
+                    jnp.full((config.capacity,), -1, jnp.int32)
+                    .at[slot]
+                    .set(idx, mode="drop", unique_indices=True)
+                )
+                return c1, o1, jnp.bool_(False)
+
+            return run
 
         def slow(_):
             # pathological candidate overflow: fall back to the exact jnp
@@ -156,7 +161,14 @@ class RabinKarpMatcher(Matcher):
             )
             return _emit.mask_to_matches(mask, config.capacity)
 
-        c1, o1, v1 = jax.lax.cond(n_cand <= vcap, fast, slow, operand=None)
+        small = min(4096, vcap)
+        c1, o1, v1 = jax.lax.cond(
+            n_cand <= small,
+            fast(small),
+            lambda _: jax.lax.cond(n_cand <= vcap, fast(vcap), slow,
+                                   operand=None),
+            operand=None,
+        )
         tail = rk_ops.rk_start_mask(
             text[cut:], pattern, tables_["powers"], tables_["pattern_hash"],
             vcap,
@@ -195,8 +207,7 @@ class KMPMatcher(Matcher):
     def _precompute(self, pat: np.ndarray) -> dict:
         t = {"dfa": tables.kmp_dfa(pat)}
         if shift_and.shift_and_supported(len(pat)):
-            b = shift_and.b_table(pat)
-            t["sa_blo"], t["sa_bhi"] = b[0], b[1]
+            t["sa_bt"] = shift_and.b_table(pat)
         return t
 
     @classmethod
@@ -204,12 +215,12 @@ class KMPMatcher(Matcher):
         m = pattern.shape[0]
         if not (
             shift_and.shift_and_supported(m)
-            and "sa_blo" in tables_
+            and "sa_bt" in tables_
             and _pallas_backend_ok(config)
         ):
             return None
         nib, cut = shift_and.kmp_mask(
-            text, text.shape[0], tables_["sa_blo"], tables_["sa_bhi"], m,
+            text, text.shape[0], tables_["sa_bt"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret,
             return_nib=True, words=words,

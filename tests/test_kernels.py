@@ -125,11 +125,16 @@ def test_kernel_long_pattern_fallback():
 
 def test_b_table():
     B = shift_and.b_table(np.frombuffer(b"aba", np.uint8))
-    assert B.shape == (2, 8, 128)
-    assert B[0, 0, ord("a")] == 0b101
-    assert B[0, 0, ord("b")] == 0b010
-    assert B[0, 0, ord("c")] == 0
-    assert (B[0] == B[0, 0]).all()  # sublane-replicated
+    assert B.shape == (1, 2, 8, 128)  # (K, halves, sublanes, lanes)
+    assert B[0, 0, 0, ord("a")] == 0b101
+    assert B[0, 0, 0, ord("b")] == 0b010
+    assert B[0, 0, 0, ord("c")] == 0
+    assert (B[0, 0] == B[0, 0, 0]).all()  # sublane-replicated
+    # multi-word: bit j of word j//32
+    B2 = shift_and.b_table(np.frombuffer(b"x" * 33, np.uint8))
+    assert B2.shape == (2, 2, 8, 128)
+    assert B2[0, 0, 0, ord("x")] == -1  # bits 0..31 set (int32 view)
+    assert B2[1, 0, 0, ord("x")] == 1   # bit 32 -> word 1 bit 0
 
 
 @pytest.mark.parametrize(
@@ -164,6 +169,23 @@ def test_shift_and_subchunk_seams():
     r = KMPMatcher(pat, CFG).match(text)
     assert r.count == len(expected)
     assert r.offsets_list() == expected
+
+
+@pytest.mark.parametrize("m", [33, 64, 65, 128])
+def test_shift_and_multiword(m):
+    data = bytearray(gen_english(128 * 512 + 77, seed=15))
+    pat = bytes(data[4000 : 4000 + m])
+    data[Cp_seam(m)] = data[Cp_seam(m)]  # no-op; keep planted natural
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert expected
+    r = KMPMatcher(pat, CFG).match(text)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected
+
+
+def Cp_seam(m):
+    return 64
 
 
 def test_shift_and_overlapping_and_m32():

@@ -43,15 +43,19 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
 
     # Pipelined timing: dispatch ``iters`` calls, sync once.  The axon
     # tunnel adds ~45ms round-trip latency per host sync, which would
-    # otherwise dominate; amortizing it measures device throughput.  The
-    # n argument varies per dispatch so no layer can cache identical calls.
+    # otherwise dominate; amortizing it measures device throughput.  Each
+    # call's n operand depends on the previous call's count, which both
+    # varies the arguments (no layer can replay a cached result) and
+    # forces true sequential execution.
+    zero = out[0] - out[0]
     t0 = time.perf_counter()
-    outs = [
-        runner(text_dev, words_dev, jnp.int32(n - it), pat_dev, tables_dev)
-        for it in range(iters)
-    ]
-    jax.block_until_ready(outs[-1])
+    nv = jnp.int32(n - 1) + zero
+    for it in range(iters):
+        out = runner(text_dev, words_dev, nv, pat_dev, tables_dev)
+        nv = jnp.int32(n - 2 - it) + (out[0] - out[0])
+    jax.block_until_ready(out)
     per_call = (time.perf_counter() - t0) / iters
+    outs = [out]
     return {
         "algo": algo,
         "n_bytes": n,

@@ -41,28 +41,38 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
 
-    # Pipelined timing: dispatch ``iters`` calls, sync once.  The axon
-    # tunnel adds ~45ms round-trip latency per host sync, which would
-    # otherwise dominate; amortizing it measures device throughput.  Each
-    # call's n operand depends on the previous call's count, which both
-    # varies the arguments (no layer can replay a cached result) and
-    # forces true sequential execution.
-    zero = out[0] - out[0]
-    t0 = time.perf_counter()
-    nv = jnp.int32(n - 1) + zero
+    # Per-call sync with measured null-RTT subtraction.  Metrology notes
+    # (all measured on the axon tunnel): async pipelining both replays
+    # identical calls from cache AND lazily elides unconsumed results, so
+    # only a consumed, per-call-synced execution is trustworthy; the
+    # tunnel's ~30-45ms sync round-trip is measured with a null op and
+    # subtracted.  Operands differ per call so nothing can be replayed.
+    nul = jax.jit(lambda x: x + 1)
+    int(nul(jnp.int32(0)))
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        int(nul(jnp.int32(i + 1)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+
+    times = []
+    count = 0
     for it in range(iters):
-        out = runner(text_dev, words_dev, nv, pat_dev, tables_dev)
-        nv = jnp.int32(n - 2 - it) + (out[0] - out[0])
-    jax.block_until_ready(out)
-    per_call = (time.perf_counter() - t0) / iters
-    outs = [out]
+        t0 = time.perf_counter()
+        o = runner(text_dev, words_dev, jnp.int32(n - 1 - it), pat_dev,
+                   tables_dev)
+        count = int(o[0])
+        times.append(time.perf_counter() - t0)
+    per_call = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
     return {
         "algo": algo,
         "n_bytes": n,
         "wall_s": per_call,
         "bytes_per_s_per_chip": n / per_call,
+        "rtt_s": rtt,
         "compile_s": compile_s,
-        "match_count": int(outs[-1][0]),
+        "match_count": count,
         "iters": iters,
     }
 

@@ -208,49 +208,16 @@ def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     cnt_ref[0, 0] += _popcount_nibble(nib_ref[:])
 
 
-def _verify_loop(P_ref, M_ref, nib_ref, ext_ref, scr_ref, *, W, Mnp):
-    """Sub-block-predicated exact verify: for every (8, 128)-word sub-block
-    whose screen has any hit, run the full SWAR compare chain and write its
-    nibble; screened-out sub-blocks skip the m-loop entirely."""
-    nw = Mnp.shape[1]
-    n_sw = W // 128
-    n_sr = 128 // 8
-
-    def body(idx, carry):
-        # Mosaic requires dynamic vector-load offsets to be provably
-        # aligned: hint the multiples, read one aligned (8, 256) window
-        # (the needed lanes [sw, sw+128+nw) with nw <= 128), and take the
-        # per-k shifted views as value slices.
-        sr = pl.multiple_of((idx // n_sw) * 8, 8)
-        sw = pl.multiple_of((idx % n_sw) * 128, 128)
-        hit = jnp.any(scr_ref[pl.ds(sr, 8), pl.ds(sw, 128)] != 0)
-
-        @pl.when(hit)
-        def _():
-            blk = ext_ref[pl.ds(sr, 8), pl.ds(sw, 256)]
-            nib = jnp.zeros((8, 128), jnp.int32)
-            for a in range(4):
-                acc = None
-                for k in range(nw):
-                    if Mnp[a, k] == 0:
-                        continue
-                    w = blk[:, k : k + 128]
-                    if Mnp[a, k] == -1:
-                        eq = w == P_ref[a, k]
-                    else:
-                        eq = (w & M_ref[a, k]) == P_ref[a, k]
-                    acc = eq if acc is None else (acc & eq)
-                nib |= acc.astype(jnp.int32) << a
-            nib_ref[pl.ds(sr, 8), pl.ds(sw, 128)] = nib
-
-        return carry
-
-    jax.lax.fori_loop(0, n_sr * n_sw, body, 0)
-
-
 def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
-                     ext_ref, scr_ref, *, W, C, m, Mnp, probes):
-    # Stage ext in scratch so the verify loop can slice it dynamically.
+                     ext_ref, *, W, C, m, Mnp, probes):
+    """Boyer-Moore execution: probe screen, then whole-tile skip.
+
+    Measured design note: the straight-line SWAR verify streams at ~87 GB/s
+    (3 ms/256 MiB), so finer-than-tile predication cannot pay — an earlier
+    per-(8,128)-sub-block variant spent more on branch overhead than the
+    verify it skipped.  The screen's job is only to let match-free TILES
+    skip the m-word chain entirely; hit tiles take the full naive chain.
+    """
     ext_ref[:, :W] = x_ref[:]
     ext_ref[:, W:] = h_ref[:]
     ext = ext_ref[:]
@@ -268,14 +235,21 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
             )
             acc = eq if acc is None else (acc & eq)
         scr = acc if scr is None else (scr | acc)
-    scr_ref[:] = scr.astype(jnp.int32)
+    hit = jnp.any(scr)
     nib_ref[:] = jnp.zeros((128, W), jnp.int32)
 
-    # Tile-level skip first (the per-sub-block loop alone costs ~5ms/256MB
-    # in branch overhead); most tiles have no screen hit at all.
-    @pl.when(jnp.any(scr_ref[:] != 0))
+    nw = Mnp.shape[1]
+
+    @pl.when(hit)
     def _():
-        _verify_loop(P_ref, M_ref, nib_ref, ext_ref, scr_ref, W=W, Mnp=Mnp)
+        nib = jnp.zeros((128, W), jnp.int32)
+        for a in range(4):
+            if nw <= STATIC_NW:
+                acc = _compare_chain(ext_ref[:], a, W, P_ref, M_ref, Mnp)
+            else:
+                acc = _loop_chain(ext_ref, a, W, nw, P_ref, M_ref)
+            nib |= acc.astype(jnp.int32) << a
+        nib_ref[:] = nib
 
     i = pl.program_id(0)
     tile_last = (i + 1) * (128 * C) - 1
@@ -319,14 +293,7 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((128, W), idx, memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=(
-            [pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)]
-            + (
-                [pltpu.VMEM((128, W), jnp.int32)]
-                if mode in ("screened", "rk")
-                else []
-            )
-        ),
+        scratch_shapes=[pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)],
     )
     if mode == "screened":
         kern = functools.partial(_screened_kernel, W=W, C=C, m=m, Mnp=Mnp,
@@ -381,10 +348,9 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     mask for the tail region (validity applied by the caller downstream).
     """
     N = text_u8.shape[0]
-    # The naive mode's full-tile compare chains spill ~17MB of scoped VMEM
-    # at C=8192 (measured); a 4 KiB chunk keeps it ~8MB with ~4% slower
-    # scans.  Screened mode streams through scratch refs and stays at C.
-    C = min(chunk_bytes, 4096) if mode == "naive" else chunk_bytes
+    # Full-tile compare chains spill ~17MB of scoped VMEM at C=8192
+    # (measured); a 4 KiB chunk keeps them ~8MB with ~4% slower scans.
+    C = min(chunk_bytes, 4096)
     tile_bytes = 128 * C
     Nk = (N // tile_bytes) * tile_bytes
     nw = P.shape[1]

@@ -121,33 +121,35 @@ class RabinKarpMatcher(Matcher):
         N = text.shape[0]
         vcap = config.verify_capacity
         limit_k = jnp.minimum(n - m, cut - 1)
-        n_cand = jnp.sum(
-            (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1),
-            dtype=jnp.int32,
-        )
+        small = min(4096, vcap)
+        # One prepass serves both the candidate count and the common-case
+        # (<= small) candidate positions.
+        n_cand, small_pos, _ = _emit.nibble_to_matches(nib, limit_k, small)
 
         padded = jnp.pad(text, (0, m))
 
-        def fast(cap):
-            # candidate positions -> window gather -> exact verify;
-            # verified positions are already ascending.  The gather cost
-            # scales with ``cap``, hence the tiers below.
-            def run(_):
-                idx = _emit.nibble_positions(nib, limit_k, cap, fill=N)
-                windows = padded[idx[:, None] + jnp.arange(m)[None, :]]
-                ok = jnp.all(windows == pattern[None, :], axis=1) & (idx < N)
-                c1 = jnp.sum(ok, dtype=jnp.int32)
-                ranks = jnp.cumsum(ok, dtype=jnp.int32) - 1
-                slot = jnp.where(ok, ranks, config.capacity + cap
-                                 + jnp.arange(cap, dtype=jnp.int32))
-                o1 = (
-                    jnp.full((config.capacity,), -1, jnp.int32)
-                    .at[slot]
-                    .set(idx, mode="drop", unique_indices=True)
-                )
-                return c1, o1, jnp.bool_(False)
+        def verify_at(idx, cap):
+            # window gather -> exact verify; verified positions are already
+            # ascending.  The gather cost scales with ``cap``.
+            windows = padded[idx[:, None] + jnp.arange(m)[None, :]]
+            ok = jnp.all(windows == pattern[None, :], axis=1) & (idx < N)
+            c1 = jnp.sum(ok, dtype=jnp.int32)
+            ranks = jnp.cumsum(ok, dtype=jnp.int32) - 1
+            slot = jnp.where(ok, ranks, config.capacity + cap
+                             + jnp.arange(cap, dtype=jnp.int32))
+            o1 = (
+                jnp.full((config.capacity,), -1, jnp.int32)
+                .at[slot]
+                .set(idx, mode="drop", unique_indices=True)
+            )
+            return c1, o1, jnp.bool_(False)
 
-            return run
+        def fast_small(_):
+            return verify_at(jnp.where(small_pos >= 0, small_pos, N), small)
+
+        def fast_big(_):
+            idx = _emit.nibble_positions(nib, limit_k, vcap, fill=N)
+            return verify_at(idx, vcap)
 
         def slow(_):
             # pathological candidate overflow: fall back to the exact jnp
@@ -161,11 +163,10 @@ class RabinKarpMatcher(Matcher):
             )
             return _emit.mask_to_matches(mask, config.capacity)
 
-        small = min(4096, vcap)
         c1, o1, v1 = jax.lax.cond(
             n_cand <= small,
-            fast(small),
-            lambda _: jax.lax.cond(n_cand <= vcap, fast(vcap), slow,
+            fast_small,
+            lambda _: jax.lax.cond(n_cand <= vcap, fast_big, slow,
                                    operand=None),
             operand=None,
         )

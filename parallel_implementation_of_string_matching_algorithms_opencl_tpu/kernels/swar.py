@@ -167,12 +167,15 @@ def _loop_chain(ext_ref, a, W, nw, P_ref, M_ref):
     ext_all = ext_ref[:]  # (128, W + HALO_WORDS)
     size = ext_all.shape[1]
 
+    # The carry is int32 0/1, not bool: Mosaic rejects i1 vectors as
+    # fori_loop carries.
     def body(k, acc):
         # roll right by (size - k) == roll left by k: lane i reads word i+k.
         w = pltpu.roll(ext_all, shift=size - k, axis=1)[:, :W]
-        return acc & ((w & M_ref[a, k]) == P_ref[a, k])
+        eq = ((w & M_ref[a, k]) == P_ref[a, k]).astype(jnp.int32)
+        return acc & eq
 
-    acc0 = (ext_all[:, 0:W] & M_ref[a, 0]) == P_ref[a, 0]
+    acc0 = ((ext_all[:, 0:W] & M_ref[a, 0]) == P_ref[a, 0]).astype(jnp.int32)
     return jax.lax.fori_loop(1, nw, body, acc0)
 
 

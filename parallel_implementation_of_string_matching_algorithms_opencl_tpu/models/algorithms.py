@@ -97,35 +97,23 @@ class RabinKarpMatcher(Matcher):
             **_swar_tables(pat),
         }
 
-    @classmethod
-    def _direct(cls, text, words, n, pattern, tables_, config: MatchConfig):
-        m = pattern.shape[0]
-        if not (rk_roll.rk_roll_supported(m) and _pallas_backend_ok(config)):
-            return None
+    @staticmethod
+    def _verify_region(text, nib, limit_k, n_cand, small_pos, pattern,
+                       powers, phash, config: MatchConfig):
+        """(count, offsets, overflow) for the kernel region: tiered exact
+        verification of the rolling-hash candidate nibble for ONE pattern.
+        ``n_cand``/``small_pos`` come from a shared nibble prepass (for the
+        multi-pattern matcher the candidate set is the union over
+        patterns, so extra candidates simply fail this pattern's verify)."""
         import jax
         import jax.numpy as jnp
 
         from ..ops import emit as _emit
-        from ..ops import tables as _t
 
-        base = config.rk_base if config.rk_base is not None else int(_t.RK_BASE)
-        nib, cut = rk_roll.rk_candidate_mask(
-            text, text.shape[0],
-            tables_["pattern_hash"].reshape(1), m, base,
-            chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret,
-            return_nib=True, words=words,
-        )
-        if nib is None:
-            return None
         N = text.shape[0]
+        m = pattern.shape[0]
         vcap = config.verify_capacity
-        limit_k = jnp.minimum(n - m, cut - 1)
         small = min(4096, vcap)
-        # One prepass serves both the candidate count and the common-case
-        # (<= small) candidate positions.
-        n_cand, small_pos, _ = _emit.nibble_to_matches(nib, limit_k, small)
-
         padded = jnp.pad(text, (0, m))
 
         def verify_at(idx, cap):
@@ -154,25 +142,50 @@ class RabinKarpMatcher(Matcher):
         def slow(_):
             # pathological candidate overflow: fall back to the exact jnp
             # screen+verify over the kernel region (counts stay exact).
-            mask = rk_ops.rk_start_mask(
-                text, pattern, tables_["powers"], tables_["pattern_hash"],
-                vcap,
-            )
-            mask = mask & (
-                jnp.arange(N, dtype=jnp.int32) <= limit_k
-            )
+            mask = rk_ops.rk_start_mask(text, pattern, powers, phash, vcap)
+            mask = mask & (jnp.arange(N, dtype=jnp.int32) <= limit_k)
             return _emit.mask_to_matches(mask, config.capacity)
 
-        c1, o1, v1 = jax.lax.cond(
+        return jax.lax.cond(
             n_cand <= small,
             fast_small,
             lambda _: jax.lax.cond(n_cand <= vcap, fast_big, slow,
                                    operand=None),
             operand=None,
         )
+
+    @classmethod
+    def _direct(cls, text, words, n, pattern, tables_, config: MatchConfig):
+        m = pattern.shape[0]
+        if not (rk_roll.rk_roll_supported(m) and _pallas_backend_ok(config)):
+            return None
+        import jax.numpy as jnp
+
+        from ..ops import emit as _emit
+        from ..ops import tables as _t
+
+        base = config.rk_base if config.rk_base is not None else int(_t.RK_BASE)
+        nib, cut = rk_roll.rk_candidate_mask(
+            text, text.shape[0],
+            tables_["pattern_hash"].reshape(1), m, base,
+            chunk_bytes=config.pallas_chunk_bytes,
+            interpret=config.interpret,
+            return_nib=True, words=words,
+        )
+        if nib is None:
+            return None
+        limit_k = jnp.minimum(n - m, cut - 1)
+        small = min(4096, config.verify_capacity)
+        # One prepass serves both the candidate count and the common-case
+        # (<= small) candidate positions.
+        n_cand, small_pos, _ = _emit.nibble_to_matches(nib, limit_k, small)
+        c1, o1, v1 = cls._verify_region(
+            text, nib, limit_k, n_cand, small_pos, pattern,
+            tables_["powers"], tables_["pattern_hash"], config,
+        )
         tail = rk_ops.rk_start_mask(
             text[cut:], pattern, tables_["powers"], tables_["pattern_hash"],
-            vcap,
+            config.verify_capacity,
         )
         tail_valid = _emit.valid_start_mask(tail, n - cut, m)
         c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)

@@ -59,7 +59,12 @@ class RabinKarpMultiMatcher:
         if fn is None:
 
             def run(text, words, n, patterns, tables_):
-                masks = cls._multi_masks(text, words, patterns, tables_, config)
+                direct = cls._multi_direct(
+                    text, words, n, patterns, tables_, config
+                )
+                if direct is not None:
+                    return direct
+                masks = cls._multi_masks(text, patterns, tables_, config)
                 m = patterns.shape[1]
                 counts, offsets, overflows = [], [], []
                 for p in range(k):
@@ -79,48 +84,60 @@ class RabinKarpMultiMatcher:
         return fn
 
     @staticmethod
-    def _multi_masks(text, words, patterns, tables_, config: MatchConfig):
-        """bool[k, N] exact start masks — kernel screen when available.
+    def _multi_direct(text, words, n, patterns, tables_, config: MatchConfig):
+        """Stacked (counts, offsets, overflows) via the kernel screen.
 
-        TPU path: ONE rolling-hash kernel pass compares against all k
-        pattern hashes (kernels/rk_roll.py); the combined candidate mask is
-        then exactly verified per pattern.  Fallback: the jnp shared-hash
-        pass (ops/rabin_karp.rk_multi_start_masks).
+        ONE rolling-hash kernel pass compares against all k pattern hashes
+        (kernels/rk_roll.py); the union candidate nibble is verified per
+        pattern with the shared tiered verifier — a candidate that belongs
+        to another pattern simply fails this pattern's window compare.
+        Returns None off-TPU / below the kernel threshold.
         """
         from ..kernels import rk_roll
-        from .algorithms import _pallas_backend_ok
+        from ..ops import emit as _emit
+        from .algorithms import RabinKarpMatcher, _pallas_backend_ok
 
         m = patterns.shape[1]
         k = patterns.shape[0]
-        if rk_roll.rk_roll_supported(m) and _pallas_backend_ok(config):
-            base = (
-                config.rk_base
-                if config.rk_base is not None
-                else int(tables.RK_BASE)
+        if not (rk_roll.rk_roll_supported(m) and _pallas_backend_ok(config)):
+            return None
+        base = (
+            config.rk_base if config.rk_base is not None else int(tables.RK_BASE)
+        )
+        nib, cut = rk_roll.rk_candidate_mask(
+            text, text.shape[0], tables_["hashes"], m, base,
+            chunk_bytes=config.pallas_chunk_bytes,
+            interpret=config.interpret, words=words, return_nib=True,
+        )
+        if nib is None:
+            return None
+        limit_k = jnp.minimum(n - m, cut - 1)
+        small = min(4096, config.verify_capacity)
+        n_cand, small_pos, _ = _emit.nibble_to_matches(nib, limit_k, small)
+        tail_masks = rk_ops.rk_multi_start_masks(
+            text[cut:], patterns, tables_["powers"], tables_["hashes"],
+            config.verify_capacity,
+        )
+        counts, offsets, overflows = [], [], []
+        for p in range(k):
+            c1, o1, v1 = RabinKarpMatcher._verify_region(
+                text, nib, limit_k, n_cand, small_pos, patterns[p],
+                tables_["powers"], tables_["hashes"][p], config,
             )
-            cand, cut = rk_roll.rk_candidate_mask(
-                text, text.shape[0], tables_["hashes"], m, base,
-                chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret, words=words,
+            tail_valid = _emit.valid_start_mask(tail_masks[p], n - cut, m)
+            c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)
+            c, o, v = _emit.merge_region_matches(
+                c1, o1, v1, c2, o2, v2, config.capacity, cut
             )
-            if cand is not None:
-                n_tot = text.shape[0]
-                cand_full = jnp.concatenate(
-                    [cand[:cut], jnp.zeros((n_tot - cut,), jnp.bool_)]
-                )
-                tail_masks = rk_ops.rk_multi_start_masks(
-                    text[cut:], patterns, tables_["powers"],
-                    tables_["hashes"], config.verify_capacity,
-                )
-                outs = []
-                for p in range(k):
-                    verified = rk_ops._verify_candidates(
-                        text, patterns[p], cand_full, config.verify_capacity
-                    )
-                    outs.append(
-                        jnp.concatenate([verified[:cut], tail_masks[p]])
-                    )
-                return jnp.stack(outs, axis=0)
+            counts.append(c)
+            offsets.append(o)
+            overflows.append(v)
+        return jnp.stack(counts), jnp.stack(offsets), jnp.stack(overflows)
+
+    @staticmethod
+    def _multi_masks(text, patterns, tables_, config: MatchConfig):
+        """bool[k, N] exact start masks — the jnp shared-hash pass
+        (ops/rabin_karp.rk_multi_start_masks); CPU/fallback path."""
         return rk_ops.rk_multi_start_masks(
             text,
             patterns,

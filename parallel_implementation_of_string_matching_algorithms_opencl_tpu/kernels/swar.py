@@ -150,6 +150,21 @@ def _popcount_nibble(nib):
     return jnp.sum(b, dtype=jnp.int32)
 
 
+def _block_sums(nib, W):
+    """Per-tile block sums: bs[j, r] = popcount of nib[r, 128j:128j+128]
+    (one 128-word = 512-byte block per vector row), zero-padded to at
+    least 8 rows (Mosaic block-shape minimum)."""
+    pc = (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1)
+    jb = W // 128
+    per = jnp.sum(pc.reshape(128, jb, 128), axis=2)  # (128, jb)
+    bs = per.T  # (jb, 128)
+    if jb < 8:
+        bs = jnp.concatenate(
+            [bs, jnp.zeros((8 - jb, 128), jnp.int32)], axis=0
+        )
+    return bs
+
+
 # Above this nw, the naive kernel's AND chain runs as a fori_loop (constant
 # IR size, bounded VMEM stack) instead of a static unroll: Mosaic allocates
 # full-tile temporaries per unrolled compare, which OOMs scoped VMEM for
@@ -180,7 +195,7 @@ def _loop_chain(ext_ref, a, W, nw, P_ref, M_ref):
 
 
 def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
-                  ext_ref, *, W, C, m, Mnp):
+                  bs_ref, ext_ref, *, W, C, m, Mnp):
     ext_ref[:, :W] = x_ref[:]
     ext_ref[:, W:] = h_ref[:]
     nw = Mnp.shape[1]
@@ -204,15 +219,18 @@ def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     def _():
         nib_ref[:] = nib
 
+    bs = _block_sums(nib_ref[:], W)
+    bs_ref[...] = bs
+
     @pl.when(i == 0)
     def _():
         cnt_ref[0, 0] = 0
 
-    cnt_ref[0, 0] += _popcount_nibble(nib_ref[:])
+    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
 
 
 def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
-                     ext_ref, *, W, C, m, Mnp, probes):
+                     bs_ref, ext_ref, *, W, C, m, Mnp, probes):
     """Boyer-Moore execution: probe screen, then whole-tile skip.
 
     Measured design note: the straight-line SWAR verify streams at ~87 GB/s
@@ -262,11 +280,14 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     def _():
         nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
 
+    bs = _block_sums(nib_ref[:], W)
+    bs_ref[...] = bs
+
     @pl.when(i == 0)
     def _():
         cnt_ref[0, 0] = 0
 
-    cnt_ref[0, 0] += _popcount_nibble(nib_ref[:])
+    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -295,6 +316,8 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((128, W), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(W // 128, 8), 128), idx,
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)],
     )
@@ -309,6 +332,9 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((L, W), jnp.int32),
+            # per-tile block sums, bs[tile][j, r] = matches in nib row r,
+            # lane block j (reordered to flat-block order by the caller)
+            jax.ShapeDtypeStruct((nt * max(W // 128, 8), 128), jnp.int32),
         ),
         interpret=interpret,
     )
@@ -362,7 +388,7 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     probes = tuple(_probe_indices(Mnp))
 
     if Nk < max(tile_bytes, MIN_KERNEL_BYTES):
-        return (None, 0) if return_nib else None  # caller falls back
+        return (None, None, 0) if return_nib else None  # caller falls back
 
     if words is None:
         words = _as_words(text_u8[:Nk])  # device repack: ~60ms/256MB on TPU
@@ -376,13 +402,23 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     )
     call = _build_call(Nk, C, m, nw, mode,
                        Mnp.tobytes(), probes, interpret)
-    _, nib = call(jnp.asarray(n, jnp.int32).reshape(1), P, M, x, h)
-    # The kernel's view ends at Nk: positions in [Nk-m+1, Nk) lack real
-    # lookahead (their halo row is zeros) and must be re-scanned by the
-    # caller's tail path.
+    # Clamp the kernel's validity to its own coverage: positions past
+    # cut = Nk-(m-1) are re-scanned by the caller's tail, so the kernel
+    # excludes them, making its nibbles AND block sums exactly the
+    # region's final truth (emission can skip its own prepass).
+    n_k = jnp.minimum(jnp.asarray(n, jnp.int32), jnp.int32(Nk))
+    _, nib, bs = call(n_k.reshape(1), P, M, x, h)
     cut = Nk - (m - 1) if m > 1 else Nk
     if return_nib:
-        return nib.reshape(-1), cut
+        nt = (Nk // C) // 128
+        jblk = W // 128
+        jpad = max(jblk, 8)
+        bs_flat = (
+            bs.reshape(nt, jpad, 128)[:, :jblk]
+            .transpose(0, 2, 1)
+            .reshape(-1)
+        )  # global block g = (tile*128 + r)*jblk + j
+        return nib.reshape(-1), bs_flat, cut
     kmask = nibble_to_bool(nib)  # bool[Nk]
     tail_mask = jnp_tail_mask(text_u8[cut:])  # bool[N - cut]
     return jnp.concatenate([kmask[:cut], tail_mask])

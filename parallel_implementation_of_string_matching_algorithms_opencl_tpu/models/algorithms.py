@@ -61,7 +61,7 @@ class NaiveMatcher(Matcher):
         m = pattern.shape[0]
         if not _pallas_enabled(config, m):
             return None
-        nib, cut = swar.naive_nib(
+        nib, bsums, cut = swar.naive_nib(
             text, text.shape[0], tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
@@ -69,7 +69,7 @@ class NaiveMatcher(Matcher):
         if nib is None:
             return None
         tail = naive_ops.naive_start_mask(text[cut:], pattern)
-        return cls._merge_nib_tail(nib, cut, n, m, tail, config)
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums)
 
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):
@@ -292,7 +292,7 @@ class BoyerMooreMatcher(Matcher):
         # Screened SWAR kernel: the probe screen is the vectorized
         # bad-character heuristic; sub-blocks with no probe hit skip the
         # verify loop entirely (tile-granular skip-loop).
-        nib, cut = swar.screened_nib(
+        nib, bsums, cut = swar.screened_nib(
             text, text.shape[0], tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
@@ -300,4 +300,4 @@ class BoyerMooreMatcher(Matcher):
         if nib is None:
             return None
         tail = naive_ops.naive_start_mask(text[cut:], pattern)
-        return cls._merge_nib_tail(nib, cut, n, m, tail, config)
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums)

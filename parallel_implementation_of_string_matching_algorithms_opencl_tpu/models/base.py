@@ -82,13 +82,18 @@ class Matcher:
     # -- shared kernel-region + tail merge for _direct implementations ----
 
     @staticmethod
-    def _merge_nib_tail(nib, cut, n, m, tail_mask, config: MatchConfig):
+    def _merge_nib_tail(nib, cut, n, m, tail_mask, config: MatchConfig,
+                        bsums=None):
         """Combine a kernel start-nibble region [0, cut) with a bool tail
-        mask over [cut, N) into the final (count, offsets, overflow)."""
+        mask over [cut, N) into the final (count, offsets, overflow).
+        ``bsums``: kernel-computed block popcounts (limit already applied
+        in-kernel) — lets emission skip its full-mask prepass."""
         from ..ops import emit as _emit
 
         limit_k = jnp.minimum(n - m, cut - 1)
-        c1, o1, v1 = _emit.nibble_to_matches(nib, limit_k, config.capacity)
+        c1, o1, v1 = _emit.nibble_to_matches(
+            nib, limit_k, config.capacity, bsums=bsums
+        )
         tail_valid = _emit.valid_start_mask(tail_mask, n - cut, m)
         c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)
         return _emit.merge_region_matches(

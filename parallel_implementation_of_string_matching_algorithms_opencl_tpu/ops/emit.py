@@ -130,23 +130,28 @@ def nibble_valid(nib: jnp.ndarray, limit) -> jnp.ndarray:
     return nib & ((1 << keep) - 1)
 
 
-def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int):
+def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int, bsums=None):
     """(count, offsets[capacity], overflow) from an int32[NW] nibble mask.
 
     ``limit``: maximum valid start position (apply n-m and any kernel
-    coverage cut).  Four unique-index scatters (one per bit lane) write
-    each match at its global rank; output is ascending with -1 padding.
+    coverage cut).  ``bsums`` (int32[NW/128], optional): per-128-word-block
+    popcounts already computed BY THE KERNEL with the same limit applied —
+    skips this function's full-mask prepass (a read of the whole mask).
+    Rank-select extraction; output is ascending with -1 padding.
     """
-    nib = nibble_valid(nib, limit)
     nw = nib.shape[0]
     B = 128  # words per block — keep the minor dim a full 128-lane row
     nb = -(-nw // B)
-    if nw % B:
-        nib = jnp.pad(nib, (0, nb * B - nw))
-    pc = (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1)
-    count = jnp.sum(pc, dtype=jnp.int32)
-    blk = pc.reshape(nb, B)
-    bsum = jnp.sum(blk, axis=1, dtype=jnp.int32)
+    if bsums is None:
+        nib = nibble_valid(nib, limit)
+        if nw % B:
+            nib = jnp.pad(nib, (0, nb * B - nw))
+        pc = (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1)
+        bsum = jnp.sum(pc.reshape(nb, B), axis=1, dtype=jnp.int32)
+    else:
+        assert nw % B == 0 and bsums.shape[0] == nb
+        bsum = bsums
+    count = jnp.sum(bsum, dtype=jnp.int32)
     bpre = jnp.cumsum(bsum, dtype=jnp.int32)  # inclusive
 
     def extract(cap):
@@ -154,8 +159,11 @@ def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int):
         bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
         bi_c = jnp.minimum(bi, nb - 1)
         prev = bpre[bi_c] - bsum[bi_c]
-        rows_pc = blk[bi_c]                        # (cap, B)
         rows_nib = nib.reshape(nb, B)[bi_c]        # (cap, B)
+        rows_pc = (
+            (rows_nib & 1) + ((rows_nib >> 1) & 1)
+            + ((rows_nib >> 2) & 1) + ((rows_nib >> 3) & 1)
+        )
         wcum = jnp.cumsum(rows_pc, axis=1)
         r_in = r - prev
         wi = jnp.sum((wcum <= r_in[:, None]).astype(jnp.int32), axis=1)

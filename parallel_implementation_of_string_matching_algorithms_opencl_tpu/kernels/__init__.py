@@ -11,17 +11,17 @@ lanes — which is also simply faster.
 from .swar import (
     HALO_WORDS,
     MAX_PATTERN,
-    naive_mask,
+    naive_nib,
     pattern_words,
-    screened_mask,
+    screened_nib,
     swar_supported,
 )
 
 __all__ = [
     "HALO_WORDS",
     "MAX_PATTERN",
-    "naive_mask",
+    "naive_nib",
     "pattern_words",
-    "screened_mask",
+    "screened_nib",
     "swar_supported",
 ]

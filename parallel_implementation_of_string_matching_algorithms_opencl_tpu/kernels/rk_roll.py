@@ -22,7 +22,7 @@ window warm-up, so no masking is needed.
 Multi-pattern is where RK pays off (BASELINE.json:8 — 8 patterns): the
 hash rolls ONCE and compares against k pattern hashes; candidates for ANY
 pattern OR into one end-position nibble mask.  The kernel is a *screen*:
-the caller converts end->start (shift_and.end_nibble3_to_start_mask) and
+the caller converts end->start (shift_and.end_nibble3_to_start_nib) and
 exactly verifies the (~N/2**32 false-positive rate) candidates per pattern
 with the jnp gather-compare (ops/rabin_karp._verify_candidates).
 
@@ -41,11 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import swar as _swar
-from .shift_and import (
-    _layout,
-    end_nibble3_to_start_mask,
-    end_nibble3_to_start_nib,
-)
+from .shift_and import _layout, end_nibble3_to_start_nib
 from .swar import DEFAULT_CHUNK_BYTES
 
 MAX_RK_PATTERN = 509  # bounded by the per-sub-chunk halo
@@ -125,12 +121,11 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
     )
 
 
-def rk_candidate_mask(text_u8, n, targets, m, base: int, *,
-                      chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                      interpret: bool = False, return_nib: bool = False,
-                      words=None):
-    """(candidate start mask bool[Nk], cut) from the rolling-hash screen,
-    or (None, 0) below the kernel threshold.
+def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
+                     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                     interpret: bool = False, words=None):
+    """(candidate start-nibble int32[Nk/4], cut) from the rolling-hash
+    screen, or (None, 0) below the kernel threshold.
 
     ``targets``: uint32[k] pattern hashes (ops/tables.rk_hash semantics).
     Positions >= cut are NOT covered; the caller must handle [cut, N).
@@ -160,6 +155,4 @@ def rk_candidate_mask(text_u8, n, targets, m, base: int, *,
     call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret)
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
-    if return_nib:
-        return end_nibble3_to_start_nib(nibE, C // 8, m), cut
-    return end_nibble3_to_start_mask(nibE, C // 8, m), cut
+    return end_nibble3_to_start_nib(nibE, C // 8, m), cut

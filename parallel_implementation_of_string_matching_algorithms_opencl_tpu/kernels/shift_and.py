@@ -30,8 +30,8 @@ The kernel emits an END-position nibble mask in sub-chunk-major layout
 (8, G8, L) — bit b of word g flags a match *ending* at scan byte 4g+b —
 written one aligned (8, 8, 128) register group at a time (Mosaic requires
 provably-aligned dynamic sublane offsets).  The end→start shift by (m-1)
-and the byte-order restore happen outside the kernel in plain XLA
-(``end_nibble3_to_start_mask``), where they are a reshape + slice.
+and the byte-order restore happen outside the kernel in word space
+(``end_nibble3_to_start_nib``) — never expanding to bool[N].
 """
 
 from __future__ import annotations
@@ -198,38 +198,22 @@ def end_nibble3_to_start_nib(nibE: jnp.ndarray, Cp: int, m: int):
     return sn.reshape(-1)  # (L*8*Cw,) == N/4 words in byte order
 
 
-def end_nibble3_to_start_mask(nibE: jnp.ndarray, Cp: int, m: int):
-    """(8, G8, L) end-position nibble mask -> bool[N] START mask, byte order.
-
-    Scan-local end byte t maps to start t-(m-1); owned starts are the
-    sub-chunk's first Cp bytes, i.e. end positions t in [m-1, m-1+Cp).
-    """
-    G8 = nibE.shape[1]
-    L = nibE.shape[2]
-    byte_major = nibE.transpose(2, 0, 1)  # (L, 8, G8)
-    bits = (byte_major[..., None] >> jnp.arange(4, dtype=jnp.int32)) & 1
-    ends = bits.astype(jnp.bool_).reshape(L, 8, G8 * 4)
-    starts = jax.lax.slice_in_dim(ends, m - 1, m - 1 + Cp, axis=2)
-    return starts.reshape(-1)
-
-
-def kmp_mask(text_u8, n, bt, m, *,
-             chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-             interpret: bool = False, jnp_tail_mask=None,
-             return_nib: bool = False, words=None):
-    """bool[N] start mask via the Shift-AND prefix automaton, or None if
-    the input is below the kernel threshold.  ``bt`` is the (K,2,8,128)
-    table from ``b_table``.  Validity for n is applied downstream."""
+def kmp_nib(text_u8, n, bt, m, *,
+            chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+            interpret: bool = False, words=None):
+    """(start-nibble int32[Nk/4], cut) via the Shift-AND prefix automaton,
+    or (None, 0) below the kernel threshold.  ``bt`` is the (K,2,8,128)
+    table from ``b_table``; ``words`` the host int32 view of the text.
+    Validity for n is applied downstream (ops/emit.nibble_to_matches)."""
     N = text_u8.shape[0]
     C = chunk_bytes
     tile_bytes = 128 * C
     Nk = (N // tile_bytes) * tile_bytes
     if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES):
-        return (None, 0) if return_nib else None
+        return None, 0
     W = C // 4
-    W8 = W // 8
     HS = max(1, -(-(m - 1) // 4))
-    G8 = -(-(W8 + HS) // 8) * 8
+    G8 = -(-(W // 8 + HS) // 8) * 8
     L = Nk // C
     if words is None:
         words = _swar._as_words(text_u8[:Nk])
@@ -239,8 +223,4 @@ def kmp_mask(text_u8, n, bt, m, *,
     call = _build_call(Nk, C, m, interpret)
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
-    if return_nib:
-        return end_nibble3_to_start_nib(nibE, C // 8, m), cut
-    kmask = end_nibble3_to_start_mask(nibE, C // 8, m)  # bool[Nk]
-    tail_mask = jnp_tail_mask(text_u8[cut:])
-    return jnp.concatenate([kmask[:cut], tail_mask])
+    return end_nibble3_to_start_nib(nibE, C // 8, m), cut

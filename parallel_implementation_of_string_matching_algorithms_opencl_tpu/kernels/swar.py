@@ -26,17 +26,18 @@ Interior words have an all-ones mask and skip the AND.
 
 Two kernels share this machinery:
 
-- ``naive_mask``   — every position verified (the honest O(n*m) scan, R1).
-- ``screened_mask``— Boyer-Moore-style: a cheap probe-word screen over the
+- ``naive_nib``   — every position verified (the honest O(n*m) scan, R1).
+- ``screened_nib``— Boyer-Moore-style: a cheap probe-word screen over the
   whole tile, then a ``pl.when``-predicated full verify per (8, 128)-word
   sub-block (16 KiB of text).  Sub-blocks with no probe hit skip the m-loop
   entirely — the TPU-native translation of BM's skip loop, with the same
   character: sublinear work on unfavorable-probe-free data, naive-equivalent
   worst case (R4, BASELINE.json:5 "skip-loop for BM").
 
-Both emit a *nibble mask*: int32[L, W] whose bit a of word w flags a match
-starting at byte 4w+a — one output byte per text byte, decoded outside the
-kernel (``nibble_to_bool``).
+Both emit a *nibble mask* (int32[L, W], bit a of word w = match starting
+at byte 4w+a) plus per-512-byte-block popcounts; counts and offsets are
+extracted without ever expanding to bool[N] (ops/emit.nibble_to_matches).
+``nibble_to_bool`` remains as a reference decoder for tests.
 """
 
 from __future__ import annotations
@@ -368,14 +369,10 @@ def nibble_to_bool(nib: jnp.ndarray) -> jnp.ndarray:
 
 
 def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
-         interpret: bool, jnp_tail_mask=None, return_nib: bool = False,
-         words=None):
-    """Shared driver: kernel over the largest aligned prefix, jnp fallback
-    over the tail, bool-mask concatenation.
-
-    ``jnp_tail_mask(text_u8_tail, n_offset)`` must return the bool start
-    mask for the tail region (validity applied by the caller downstream).
-    """
+         interpret: bool, words=None):
+    """Shared kernel driver: returns (start-nibble int32[Nk/4], block sums
+    int32[Nk/512], cut) or (None, None, 0) when the input is below the
+    kernel threshold (caller falls back to the jnp path)."""
     N = text_u8.shape[0]
     # Full-tile compare chains spill ~17MB of scoped VMEM at C=8192
     # (measured); a 4 KiB chunk keeps them ~8MB with ~4% slower scans.
@@ -388,7 +385,7 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     probes = tuple(_probe_indices(Mnp))
 
     if Nk < max(tile_bytes, MIN_KERNEL_BYTES):
-        return (None, None, 0) if return_nib else None  # caller falls back
+        return None, None, 0
 
     if words is None:
         words = _as_words(text_u8[:Nk])  # device repack: ~60ms/256MB on TPU
@@ -409,48 +406,29 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     n_k = jnp.minimum(jnp.asarray(n, jnp.int32), jnp.int32(Nk))
     _, nib, bs = call(n_k.reshape(1), P, M, x, h)
     cut = Nk - (m - 1) if m > 1 else Nk
-    if return_nib:
-        nt = (Nk // C) // 128
-        jblk = W // 128
-        jpad = max(jblk, 8)
-        bs_flat = (
-            bs.reshape(nt, jpad, 128)[:, :jblk]
-            .transpose(0, 2, 1)
-            .reshape(-1)
-        )  # global block g = (tile*128 + r)*jblk + j
-        return nib.reshape(-1), bs_flat, cut
-    kmask = nibble_to_bool(nib)  # bool[Nk]
-    tail_mask = jnp_tail_mask(text_u8[cut:])  # bool[N - cut]
-    return jnp.concatenate([kmask[:cut], tail_mask])
-
-
-def naive_mask(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-               interpret: bool = False, jnp_tail_mask=None):
-    """Full-verify SWAR scan (naive algorithm).  Returns bool[N] start mask
-    (validity for n handled downstream) or None if ineligible."""
-    return _run(text_u8, n, P, m, mode="naive", chunk_bytes=chunk_bytes,
-                interpret=interpret, jnp_tail_mask=jnp_tail_mask)
-
-
-def screened_mask(text_u8, n, P, m, *,
-                  chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                  interpret: bool = False, jnp_tail_mask=None):
-    """Probe-screen + predicated-verify SWAR scan (Boyer-Moore execution)."""
-    return _run(text_u8, n, P, m, mode="screened", chunk_bytes=chunk_bytes,
-                interpret=interpret, jnp_tail_mask=jnp_tail_mask)
+    nt = L // 128
+    jblk = W // 128
+    jpad = max(jblk, 8)
+    bs_flat = (
+        bs.reshape(nt, jpad, 128)[:, :jblk]
+        .transpose(0, 2, 1)
+        .reshape(-1)
+    )  # global block g = (tile*128 + r)*jblk + j
+    return nib.reshape(-1), bs_flat, cut
 
 
 def naive_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
               interpret: bool = False, words=None):
-    """(int32[Nk/4] start-nibble mask, cut) or (None, 0) — the zero-copy
-    result path (see ops/emit.py nibble_to_matches).  Pass ``words`` (the
-    host int32 view of the text buffer) to skip the device repack."""
+    """(start-nibble int32[Nk/4], block sums, cut) or (None, None, 0) —
+    the full-verify (naive) scan.  Pass ``words`` (the host int32 view of
+    the text buffer) to skip the device repack.  See ops/emit.py
+    nibble_to_matches for the consumption side."""
     return _run(text_u8, n, P, m, mode="naive", chunk_bytes=chunk_bytes,
-                interpret=interpret, return_nib=True, words=words)
+                interpret=interpret, words=words)
 
 
 def screened_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                  interpret: bool = False, words=None):
     """Screened (Boyer-Moore) variant of naive_nib."""
     return _run(text_u8, n, P, m, mode="screened", chunk_bytes=chunk_bytes,
-                interpret=interpret, return_nib=True, words=words)
+                interpret=interpret, words=words)

@@ -165,12 +165,11 @@ class RabinKarpMatcher(Matcher):
         from ..ops import tables as _t
 
         base = config.rk_base if config.rk_base is not None else int(_t.RK_BASE)
-        nib, cut = rk_roll.rk_candidate_mask(
+        nib, cut = rk_roll.rk_candidate_nib(
             text, text.shape[0],
             tables_["pattern_hash"].reshape(1), m, base,
             chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret,
-            return_nib=True, words=words,
+            interpret=config.interpret, words=words,
         )
         if nib is None:
             return None
@@ -233,11 +232,10 @@ class KMPMatcher(Matcher):
             and _pallas_backend_ok(config)
         ):
             return None
-        nib, cut = shift_and.kmp_mask(
+        nib, cut = shift_and.kmp_nib(
             text, text.shape[0], tables_["sa_bt"], m,
             chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret,
-            return_nib=True, words=words,
+            interpret=config.interpret, words=words,
         )
         if nib is None:
             return None

@@ -104,10 +104,10 @@ class RabinKarpMultiMatcher:
         base = (
             config.rk_base if config.rk_base is not None else int(tables.RK_BASE)
         )
-        nib, cut = rk_roll.rk_candidate_mask(
+        nib, cut = rk_roll.rk_candidate_nib(
             text, text.shape[0], tables_["hashes"], m, base,
             chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret, words=words, return_nib=True,
+            interpret=config.interpret, words=words,
         )
         if nib is None:
             return None

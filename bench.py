@@ -49,14 +49,10 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
     # subtracted.  Operands differ per call so nothing can be replayed.
     nul = jax.jit(lambda x: x + 1)
     int(nul(jnp.int32(0)))
-    rtts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        int(nul(jnp.int32(i + 1)))
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[len(rtts) // 2]
 
-    times = []
+    # Interleave workload calls with null-op round trips so both see the
+    # same tunnel load; compute = median(work) - median(null).
+    times, rtts = [], []
     count = 0
     for it in range(iters):
         t0 = time.perf_counter()
@@ -64,6 +60,10 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
                    tables_dev)
         count = int(o[0])
         times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        int(nul(jnp.int32(it + 1)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
     per_call = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
     return {
         "algo": algo,

@@ -10,7 +10,6 @@ tensors to fixed-capacity match results).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

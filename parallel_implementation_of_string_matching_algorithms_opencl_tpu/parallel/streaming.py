@@ -26,7 +26,7 @@ import numpy as np
 from ..models.base import MatchResult
 from ..models.registry import get_matcher
 from ..utils.config import DEFAULT_CONFIG, MatchConfig
-from ..utils.io import as_byte_array
+
 
 DEFAULT_CHUNK_BYTES = 64 << 20
 

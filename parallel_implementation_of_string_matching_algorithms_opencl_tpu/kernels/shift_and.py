@@ -81,9 +81,29 @@ def _kernel(n_ref, bt_ref, x3_ref, nibE_ref, *, G, m, K):
     nibE_ref: (8, G*8, 128) int32 — bit b of [s, g, l] = match ENDING at
     scan byte 4*g+b of sub-chunk s of chunk l.
     bt_ref: (K, 2, 8, 128) B-table halves; state spans K int32 words with
-    the shift carry rippling from word k-1's bit 31 into word k's bit 0."""
-    halves = [(bt_ref[k, 0], bt_ref[k, 1]) for k in range(K)]
+    the shift carry rippling from word k-1's bit 31 into word k's bit 0.
+
+    For m <= 16 the whole B entry fits 16 bits, so the two halves pack
+    into one word (lo | hi<<16) and each byte costs ONE dynamic_gather
+    instead of two — gathers dominate this kernel's step."""
     hi_bit = (m - 1) % 32
+    packed16 = K == 1 and m <= 16
+    if packed16:
+        ptab = bt_ref[0, 0] | (bt_ref[0, 1] << 16)
+    else:
+        halves = [(bt_ref[k, 0], bt_ref[k, 1]) for k in range(K)]
+
+    def lookup(k, ci, is_lo):
+        if packed16:
+            g = jnp.take_along_axis(ptab, ci, axis=1)
+            return jnp.where(
+                is_lo, g & 0xFFFF, jax.lax.shift_right_logical(g, 16)
+            )
+        return jnp.where(
+            is_lo,
+            jnp.take_along_axis(halves[k][0], ci, axis=1),
+            jnp.take_along_axis(halves[k][1], ci, axis=1),
+        )
 
     def group(g, D):
         base = pl.multiple_of(g * 8, 8)
@@ -101,12 +121,7 @@ def _kernel(n_ref, bt_ref, x3_ref, nibE_ref, *, G, m, K):
                     for k in range(1, K)
                 ]
                 D = tuple(
-                    ((D[k] << 1) | carries[k])
-                    & jnp.where(
-                        is_lo,
-                        jnp.take_along_axis(halves[k][0], ci, axis=1),
-                        jnp.take_along_axis(halves[k][1], ci, axis=1),
-                    )
+                    ((D[k] << 1) | carries[k]) & lookup(k, ci, is_lo)
                     for k in range(K)
                 )
                 hit = jax.lax.shift_right_logical(D[K - 1], hi_bit) & 1

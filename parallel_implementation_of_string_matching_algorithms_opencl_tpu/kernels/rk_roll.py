@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import swar as _swar
-from .shift_and import _finish_start_nib, _layout
+from .shift_and import _layout, end_nibble3_to_start_nib
 from .swar import DEFAULT_CHUNK_BYTES
 
 MAX_RK_PATTERN = 509  # bounded by the per-sub-chunk halo
@@ -124,9 +124,8 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
 def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
                      chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                      interpret: bool = False, words=None):
-    """(candidate start-nibble, block sums, cut) from the rolling-hash
-    screen, or (None, None, 0) below the kernel threshold.  Validity for
-    n is already applied to both.
+    """(candidate start-nibble int32[Nk/4], cut) from the rolling-hash
+    screen, or (None, 0) below the kernel threshold.
 
     ``targets``: uint32[k] pattern hashes (ops/tables.rk_hash semantics).
     Positions >= cut are NOT covered; the caller must handle [cut, N).
@@ -136,7 +135,7 @@ def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
     tile_bytes = 128 * C
     Nk = (N // tile_bytes) * tile_bytes
     if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES):
-        return None, None, 0
+        return None, 0
     W = C // 4
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W // 8 + HS) // 8) * 8
@@ -156,4 +155,4 @@ def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
     call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret)
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
-    return _finish_start_nib(nibE, C, m, n, cut)
+    return end_nibble3_to_start_nib(nibE, C // 8, m), cut

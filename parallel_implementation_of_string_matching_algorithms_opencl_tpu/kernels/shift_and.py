@@ -213,26 +213,11 @@ def end_nibble3_to_start_nib(nibE: jnp.ndarray, Cp: int, m: int):
     return sn.reshape(-1)  # (L*8*Cw,) == N/4 words in byte order
 
 
-def _finish_start_nib(nibE, C, m, n, cut):
-    """(valid start-nibble, block sums, cut): convert the end-position
-    layout, apply the region validity, and compute the 128-word block
-    popcounts in the same fused XLA pass — downstream emission then skips
-    its own full-mask prepass (ops/emit.nibble_to_matches bsums path)."""
-    from ..ops import emit as _emit
-
-    nib = end_nibble3_to_start_nib(nibE, C // 8, m)
-    limit = jnp.minimum(jnp.asarray(n, jnp.int32) - m, jnp.int32(cut - 1))
-    nib = _emit.nibble_valid(nib, limit)
-    pc = (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1)
-    bs = jnp.sum(pc.reshape(-1, 128), axis=1, dtype=jnp.int32)
-    return nib, bs, cut
-
-
 def kmp_nib(text_u8, n, bt, m, *,
             chunk_bytes: int = DEFAULT_CHUNK_BYTES,
             interpret: bool = False, words=None):
-    """(start-nibble, block sums, cut) via the Shift-AND prefix automaton,
-    or (None, None, 0) below the kernel threshold.  ``bt`` is the (K,2,8,128)
+    """(start-nibble int32[Nk/4], cut) via the Shift-AND prefix automaton,
+    or (None, 0) below the kernel threshold.  ``bt`` is the (K,2,8,128)
     table from ``b_table``; ``words`` the host int32 view of the text.
     Validity for n is applied downstream (ops/emit.nibble_to_matches)."""
     N = text_u8.shape[0]
@@ -240,7 +225,7 @@ def kmp_nib(text_u8, n, bt, m, *,
     tile_bytes = 128 * C
     Nk = (N // tile_bytes) * tile_bytes
     if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES):
-        return None, None, 0
+        return None, 0
     W = C // 4
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W // 8 + HS) // 8) * 8
@@ -253,4 +238,4 @@ def kmp_nib(text_u8, n, bt, m, *,
     call = _build_call(Nk, C, m, interpret)
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
-    return _finish_start_nib(nibE, C, m, n, cut)
+    return end_nibble3_to_start_nib(nibE, C // 8, m), cut

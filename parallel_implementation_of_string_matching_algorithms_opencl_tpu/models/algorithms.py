@@ -165,8 +165,8 @@ class RabinKarpMatcher(Matcher):
         from ..ops import tables as _t
 
         base = config.rk_base if config.rk_base is not None else int(_t.RK_BASE)
-        nib, cand_bs, cut = rk_roll.rk_candidate_nib(
-            text, n,
+        nib, cut = rk_roll.rk_candidate_nib(
+            text, text.shape[0],
             tables_["pattern_hash"].reshape(1), m, base,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
@@ -175,11 +175,9 @@ class RabinKarpMatcher(Matcher):
             return None
         limit_k = jnp.minimum(n - m, cut - 1)
         small = min(4096, config.verify_capacity)
-        # Candidate count and common-case positions from the kernel-fused
-        # block sums (validity already applied).
-        n_cand, small_pos, _ = _emit.nibble_to_matches(
-            nib, limit_k, small, bsums=cand_bs
-        )
+        # One prepass serves both the candidate count and the common-case
+        # (<= small) candidate positions.
+        n_cand, small_pos, _ = _emit.nibble_to_matches(nib, limit_k, small)
         c1, o1, v1 = cls._verify_region(
             text, nib, limit_k, n_cand, small_pos, pattern,
             tables_["powers"], tables_["pattern_hash"], config,
@@ -234,8 +232,8 @@ class KMPMatcher(Matcher):
             and _pallas_backend_ok(config)
         ):
             return None
-        nib, bsums, cut = shift_and.kmp_nib(
-            text, n, tables_["sa_bt"], m,
+        nib, cut = shift_and.kmp_nib(
+            text, text.shape[0], tables_["sa_bt"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
         )
@@ -244,7 +242,7 @@ class KMPMatcher(Matcher):
         tail = kmp_ops.kmp_start_mask(
             text[cut:], tables_["dfa"], config.kmp_chunk
         )
-        return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums)
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config)
 
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):

@@ -104,8 +104,8 @@ class RabinKarpMultiMatcher:
         base = (
             config.rk_base if config.rk_base is not None else int(tables.RK_BASE)
         )
-        nib, cand_bs, cut = rk_roll.rk_candidate_nib(
-            text, n, tables_["hashes"], m, base,
+        nib, cut = rk_roll.rk_candidate_nib(
+            text, text.shape[0], tables_["hashes"], m, base,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
         )
@@ -113,9 +113,7 @@ class RabinKarpMultiMatcher:
             return None
         limit_k = jnp.minimum(n - m, cut - 1)
         small = min(4096, config.verify_capacity)
-        n_cand, small_pos, _ = _emit.nibble_to_matches(
-            nib, limit_k, small, bsums=cand_bs
-        )
+        n_cand, small_pos, _ = _emit.nibble_to_matches(nib, limit_k, small)
         tail_masks = rk_ops.rk_multi_start_masks(
             text[cut:], patterns, tables_["powers"], tables_["hashes"],
             config.verify_capacity,

@@ -61,8 +61,13 @@ class NaiveMatcher(Matcher):
         m = pattern.shape[0]
         if not _pallas_enabled(config, m):
             return None
+        # Pass the traced logical n (NOT the padded text.shape[0]): the
+        # kernel clamps n_k = min(n, Nk) and bakes the validity limit into
+        # both the nibble mask and the block sums, which emission trusts
+        # verbatim when bsums are supplied.  Padded-N here let NUL-suffixed
+        # patterns falsely match inside the zero-padding tail.
         nib, bsums, cut = swar.naive_nib(
-            text, text.shape[0], tables_["swar_p"], m,
+            text, n, tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
         )
@@ -166,7 +171,7 @@ class RabinKarpMatcher(Matcher):
 
         base = config.rk_base if config.rk_base is not None else int(_t.RK_BASE)
         nib, cut = rk_roll.rk_candidate_nib(
-            text, text.shape[0],
+            text, n,
             tables_["pattern_hash"].reshape(1), m, base,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
@@ -233,7 +238,7 @@ class KMPMatcher(Matcher):
         ):
             return None
         nib, cut = shift_and.kmp_nib(
-            text, text.shape[0], tables_["sa_bt"], m,
+            text, n, tables_["sa_bt"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
         )
@@ -290,8 +295,9 @@ class BoyerMooreMatcher(Matcher):
         # Screened SWAR kernel: the probe screen is the vectorized
         # bad-character heuristic; sub-blocks with no probe hit skip the
         # verify loop entirely (tile-granular skip-loop).
+        # Logical n, not padded N — see NaiveMatcher._direct.
         nib, bsums, cut = swar.screened_nib(
-            text, text.shape[0], tables_["swar_p"], m,
+            text, n, tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
         )

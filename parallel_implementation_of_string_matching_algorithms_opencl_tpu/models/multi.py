@@ -105,7 +105,7 @@ class RabinKarpMultiMatcher:
             config.rk_base if config.rk_base is not None else int(tables.RK_BASE)
         )
         nib, cut = rk_roll.rk_candidate_nib(
-            text, text.shape[0], tables_["hashes"], m, base,
+            text, n, tables_["hashes"], m, base,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
         )

@@ -61,23 +61,45 @@ class DistributedMatcher:
         halo = m - 1
         cap = config.capacity
 
-        halo_w = -(-halo // 4)  # word halo covering the byte halo
+        # Word-aligned halo: fetch ceil(halo/4)*4 bytes so the int32 word
+        # view of the extended text composes exactly (a few extra lookahead
+        # bytes are harmless — ownership/validity come from n_local below).
+        halo_b = -(-halo // 4) * 4
 
         def shard_body(local_text, local_words, n, pattern, tables):
             shard_len = local_text.shape[0]
+            D = mesh.shape[DATA_AXIS]
             idx = jax.lax.axis_index(DATA_AXIS)
             shard_start = idx * shard_len
-            perm = [(i, i - 1) for i in range(1, mesh.shape[DATA_AXIS])]
             if halo > 0:
-                # Left neighbor receives my first (m-1) bytes (and the
-                # covering words); the last shard gets zeros (text end —
-                # killed by the validity mask).
-                nbr = jax.lax.ppermute(local_text[:halo], DATA_AXIS, perm=perm)
-                ext = jnp.concatenate([local_text, nbr])
-                nbr_w = jax.lax.ppermute(
-                    local_words[:halo_w], DATA_AXIS, perm=perm
-                )
-                ext_w = jnp.concatenate([local_words, nbr_w])
+                # Halo assembly: each shard needs the next halo_b bytes of
+                # the GLOBAL stream — when m-1 > shard_len that spans
+                # several right neighbors, so hop h pulls a prefix of shard
+                # idx+h (round-1 bug: a single hop silently clamped and
+                # dropped matches spanning >= 2 shard boundaries).  Hops
+                # past the last shard contribute zeros (ppermute default),
+                # which mirror the global zero padding past n and are never
+                # read by a valid start (p <= n - m).
+                hops = min(-(-halo_b // shard_len), D - 1)
+                t_parts, w_parts = [local_text], [local_words]
+                rem = halo_b
+                for h in range(1, hops + 1):
+                    take = min(shard_len, rem)
+                    perm_h = [(i, i - h) for i in range(h, D)]
+                    t_parts.append(
+                        jax.lax.ppermute(local_text[:take], DATA_AXIS,
+                                         perm=perm_h)
+                    )
+                    w_parts.append(
+                        jax.lax.ppermute(local_words[: take // 4], DATA_AXIS,
+                                         perm=perm_h)
+                    )
+                    rem -= take
+                if rem > 0:  # halo longer than all remaining shards
+                    t_parts.append(jnp.zeros((rem,), local_text.dtype))
+                    w_parts.append(jnp.zeros((rem // 4,), local_words.dtype))
+                ext = jnp.concatenate(t_parts)
+                ext_w = jnp.concatenate(w_parts)
             else:
                 ext = local_text
                 ext_w = local_words

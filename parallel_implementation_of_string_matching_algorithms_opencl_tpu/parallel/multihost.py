@@ -16,6 +16,11 @@ import os
 
 import numpy as np
 
+# jax.distributed.initialize must run BEFORE any XLA backend is touched
+# (jax.process_count()/jax.devices() initialize backends), so repeat-call
+# guarding uses this module flag, never a backend query (round-1 advisor).
+_initialized = False
+
 
 def initialize_cluster(
     coordinator_address: str | None = None,
@@ -24,20 +29,30 @@ def initialize_cluster(
 ) -> dict:
     """Initialize the JAX process group (idempotent).
 
-    With no arguments, defers to environment auto-detection (TPU pod
-    metadata / JAX_COORDINATOR_ADDRESS etc.).  Returns topology facts.
+    Topology is decided from the arguments / environment ALONE
+    (TPUMATCH_NUM_PROCESSES etc.) — backend state is only queried after
+    ``jax.distributed.initialize`` has run.  With no arguments and no env,
+    the process stays single-process (TPU pod auto-detection still applies
+    when JAX's own env vars are set).  Returns topology facts.
     """
+    global _initialized
     import jax
 
     if num_processes is None:
         env_np = os.environ.get("TPUMATCH_NUM_PROCESSES")
         num_processes = int(env_np) if env_np else None
-    if jax.process_count() == 1 and (num_processes or 1) > 1:
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("TPUMATCH_COORDINATOR") or None
+    if process_id is None:
+        env_pid = os.environ.get("TPUMATCH_PROCESS_ID")
+        process_id = int(env_pid) if env_pid is not None else None
+    if not _initialized and (num_processes or 1) > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        _initialized = True
     return {
         "process_id": jax.process_index(),
         "process_count": jax.process_count(),
@@ -83,3 +98,73 @@ def load_host_slice(path: str, m: int, process_id: int | None = None,
     mm = np.memmap(path, dtype=np.uint8, mode="r")
     arr = np.asarray(mm[offset : offset + read])
     return arr, offset, owned
+
+
+def match_multihost(
+    path: str,
+    pattern,
+    algo: str = "boyer_moore",
+    config=None,
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """End-to-end multi-host match over a shared corpus file (SURVEY.md
+    §3.3, BASELINE.json:11 config 5).
+
+    Per host: mmap-read my slice plus an (m-1)-byte tail halo (overlapping
+    file reads — the host-level halo costs zero network traffic), scan it
+    with the local matcher, and rebase offsets by the slice's global file
+    offset.  Ownership needs no extra masking: an interior host reads
+    exactly owned+(m-1) bytes, so the matcher's own validity limit
+    p <= read-m equals "p starts in my owned range" (the same identity the
+    streaming driver uses).  Global merge: one ``process_allgather`` of
+    (count, overflow) and of the fixed-capacity offset buffers — the
+    multi-process form of the psum/all-gather merge in parallel/dist.py.
+
+    Every process must call this collectively; all return the identical
+    global MatchResult.
+    """
+    import jax
+
+    from ..models.base import MatchResult
+    from ..models.registry import get_matcher
+    from ..utils.config import DEFAULT_CONFIG
+
+    if isinstance(pattern, str):
+        pattern = pattern.encode("utf-8")
+    pattern = bytes(pattern)
+    cfg = config or DEFAULT_CONFIG
+    info = initialize_cluster(coordinator_address, num_processes, process_id)
+    pid, pc = info["process_id"], info["process_count"]
+    size = os.path.getsize(path)
+    arr, offset, owned = load_host_slice(path, len(pattern), pid, pc)
+    local = get_matcher(algo)(pattern, cfg).match(arr)
+    local_offs = local.offsets.astype(np.int64) + offset
+
+    if pc == 1:
+        return MatchResult(
+            algo=f"{algo}@hosts1", pattern=pattern, n=size,
+            count=local.count, offsets=local_offs,
+            overflow=local.overflow,
+        )
+
+    from jax.experimental import multihost_utils
+
+    stats = multihost_utils.process_allgather(
+        np.array([local.count, int(local.overflow)], np.int64), tiled=False
+    ).reshape(pc, 2)
+    buf = np.full(cfg.capacity, -1, np.int64)
+    buf[: len(local_offs)] = local_offs
+    all_offs = np.asarray(
+        multihost_utils.process_allgather(buf, tiled=False)
+    ).reshape(-1)
+    offs = np.sort(all_offs[all_offs >= 0])
+    return MatchResult(
+        algo=f"{algo}@hosts{pc}",
+        pattern=pattern,
+        n=size,
+        count=int(stats[:, 0].sum()),
+        offsets=offs,
+        overflow=bool(stats[:, 1].any()),
+    )

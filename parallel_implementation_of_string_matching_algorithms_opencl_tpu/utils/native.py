@@ -45,7 +45,14 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # Rebuild when missing OR stale vs the source (the .so is not
+        # version-controlled; a checked-in binary could silently drift).
+        src = os.path.join(_NATIVE_DIR, "tpumatch_native.cpp")
+        stale = not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+        )
+        if stale and not _build() and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)

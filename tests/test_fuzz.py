@@ -23,6 +23,8 @@ from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io i
     GENERATORS,
 )
 
+pytestmark = pytest.mark.slow  # interpret-mode sweeps; fast suite runs -m 'not slow'
+
 ALGOS = ["naive", "rabin_karp", "kmp", "boyer_moore"]
 
 JNP_CFG = MatchConfig(use_pallas="off", capacity=1 << 17, verify_capacity=1 << 17)

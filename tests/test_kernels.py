@@ -28,6 +28,8 @@ from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io i
     gen_english,
 )
 
+pytestmark = pytest.mark.slow  # interpret-mode; fast suite runs -m 'not slow'
+
 # Small chunks + no minimum so interpreter-mode runs stay fast.
 CFG = MatchConfig(
     use_pallas="on",
@@ -173,19 +175,41 @@ def test_shift_and_subchunk_seams():
 
 @pytest.mark.parametrize("m", [33, 64, 65, 128])
 def test_shift_and_multiword(m):
-    data = bytearray(gen_english(128 * 512 + 77, seed=15))
+    # Carry-ripple path (K > 1 state words): plant matches straddling
+    # sub-chunk seams at several phases, so bit 31 of state word k-1 must
+    # ripple into word k while the automaton crosses the seam.
+    C = CFG.pallas_chunk_bytes
+    Cp = C // 8
+    data = bytearray(gen_english(128 * C + 77, seed=15))
     pat = bytes(data[4000 : 4000 + m])
-    data[Cp_seam(m)] = data[Cp_seam(m)]  # no-op; keep planted natural
+    plants = [(2, -m), (6, -m // 2), (10, -1), (14, 0), (18, 1 - m),
+              (130, -2)]  # ks spaced 4 sub-chunks apart: plants never overlap
+    for k, phase in plants:
+        p = k * Cp + phase
+        if 0 <= p <= len(data) - m:
+            data[p : p + m] = pat
     text = bytes(data)
     expected = find_all(text, pat)
-    assert expected
+    assert len(expected) >= 6
     r = KMPMatcher(pat, CFG).match(text)
     assert r.count == len(expected)
     assert r.offsets_list() == expected
 
 
-def Cp_seam(m):
-    return 64
+def test_kernel_nul_suffix_pattern_padding_tail():
+    # Regression (round-1 advisor, high): n just below a tile multiple with
+    # a NUL-suffixed pattern must not match inside the zero-padding tail —
+    # the kernels must receive the logical n, not the padded length.
+    C = CFG.pallas_chunk_bytes
+    tile = 128 * C
+    n = 2 * tile - 10
+    text = gen_english(n, seed=21)
+    pat = text[-4:] + b"\x00" * 4
+    expected = find_all(text, pat)
+    for cls in (NaiveMatcher, BoyerMooreMatcher, RabinKarpMatcher, KMPMatcher):
+        r = cls(pat, CFG).match(text)
+        assert r.count == len(expected), cls.name
+        assert r.offsets_list() == expected, cls.name
 
 
 def test_shift_and_overlapping_and_m32():

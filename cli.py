@@ -70,26 +70,25 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     if args.stream:
-        if len(patterns) > 1:
-            print("--stream supports a single pattern", file=sys.stderr)
-            return 2
-        results = [
-            match_stream(
-                args.textfile,
-                patterns[0],
-                algo=args.algo,
-                chunk_bytes=args.chunk_mb << 20,
-                manifest_path=args.manifest,
-                resume=args.resume,
-            )
-        ]
+        out = match_stream(
+            args.textfile,
+            patterns if len(patterns) > 1 else patterns[0],
+            algo=args.algo,
+            chunk_bytes=args.chunk_mb << 20,
+            manifest_path=args.manifest,
+            resume=args.resume,
+        )
+        results = out if isinstance(out, list) else [out]
     else:
         text = load_file(args.textfile)
         if args.distributed:
-            results = [
-                match_distributed(text, p, algo=args.algo, capacity=args.capacity)
-                for p in patterns
-            ]
+            out = match_distributed(
+                text,
+                patterns if len(patterns) > 1 else patterns[0],
+                algo=args.algo,
+                capacity=args.capacity,
+            )
+            results = out if isinstance(out, list) else [out]
         else:
             out = match(
                 text,

@@ -36,6 +36,7 @@ def match(
     pattern,
     algo: str = "boyer_moore",
     config: MatchConfig | None = None,
+    drain: bool = False,
     **overrides,
 ):
     """Exact match: all (overlapping) occurrences as sorted 0-based offsets.
@@ -44,13 +45,18 @@ def match(
     the multi-pattern path (shared Rabin-Karp hash pass for equal-length
     groups when ``algo`` is 'rabin_karp'; otherwise one run per pattern) and
     returns a list of MatchResult in input order.
+
+    ``drain=True`` guarantees every offset is returned even past
+    ``capacity`` (windowed re-extraction — see Matcher.match_all); counts
+    are exact either way.
     """
     cfg = (config or DEFAULT_CONFIG).replace(**overrides) if overrides else (
         config or DEFAULT_CONFIG
     )
     if isinstance(pattern, (list, tuple)):
         return _match_many(text, [_coerce_pattern(p) for p in pattern], algo, cfg)
-    return _get_cached_matcher(algo, _coerce_pattern(pattern), cfg).match(text)
+    m = _get_cached_matcher(algo, _coerce_pattern(pattern), cfg)
+    return m.match_all(text) if drain else m.match(text)
 
 
 def _match_many(text, patterns: list[bytes], algo: str, cfg: MatchConfig):
@@ -80,12 +86,41 @@ def match_distributed(
     **overrides,
 ):
     """Mesh-sharded match (data-parallel with (m-1)-byte halos).  See
-    parallel/dist.py for the decomposition."""
-    from .parallel.dist import DistributedMatcher
+    parallel/dist.py for the decomposition.
+
+    ``pattern`` may be a list: equal-length groups run ONE shared
+    Rabin-Karp hash pass per shard when ``algo`` is 'rabin_karp'
+    (DistributedMultiMatcher); otherwise one sharded run per pattern.
+    Returns a list of MatchResult in input order for list input.
+    """
+    from .parallel.dist import DistributedMatcher, DistributedMultiMatcher
 
     cfg = (config or DEFAULT_CONFIG).replace(**overrides) if overrides else (
         config or DEFAULT_CONFIG
     )
+    if isinstance(pattern, (list, tuple)):
+        patterns = [_coerce_pattern(p) for p in pattern]
+        results: list[MatchResult | None] = [None] * len(patterns)
+        if get_matcher(algo).name == "rabin_karp":
+            by_len: dict[int, list[int]] = {}
+            for i, p in enumerate(patterns):
+                by_len.setdefault(len(p), []).append(i)
+            for idxs in by_len.values():
+                if len(idxs) > 1:
+                    dm = DistributedMultiMatcher(
+                        [patterns[i] for i in idxs], config=cfg, mesh=mesh
+                    )
+                    for i, r in zip(idxs, dm.match(text)):
+                        results[i] = r
+                else:
+                    results[idxs[0]] = DistributedMatcher(
+                        patterns[idxs[0]], algo=algo, config=cfg, mesh=mesh
+                    ).match(text)
+            return results
+        return [
+            DistributedMatcher(p, algo=algo, config=cfg, mesh=mesh).match(text)
+            for p in patterns
+        ]
     dm = DistributedMatcher(_coerce_pattern(pattern), algo=algo, config=cfg, mesh=mesh)
     return dm.match(text)
 

@@ -127,6 +127,39 @@ class Matcher:
             text, jnp.asarray(self.pattern_arr), jax.tree.map(jnp.asarray, self.tables), self.config
         )
 
+    def match_all(self, data) -> MatchResult:
+        """Like ``match`` but guarantees EVERY offset is returned even when
+        the count exceeds ``config.capacity`` (SURVEY.md §7.3 stage 2's
+        documented escape hatch for one-pass padded emission).
+
+        Overflow drain by windowed re-extraction: re-run the matcher over
+        successive ``capacity``-byte windows of the text, each read with an
+        (m-1)-byte halo.  A window holds at most ``capacity`` start
+        positions, so no window can overflow, and the per-window validity
+        limit p <= len(window)-m is exactly start-ownership (the streaming
+        driver's identity), making the concatenation duplicate-free and
+        ascending.  Cost: ~count/capacity extra dispatches — only taken on
+        the overflow path.
+        """
+        arr = as_byte_array(data)
+        res = self.match(arr)
+        if not res.overflow:
+            return res
+        win = self.config.capacity
+        n = len(arr)
+        parts = []
+        for lo in range(0, n, win):
+            sub = arr[lo : lo + win + self.m - 1]
+            r = self.match(sub)
+            assert not r.overflow  # <= win starts per window by construction
+            if r.count:
+                parts.append(np.asarray(r.offsets, np.int64) + lo)
+        offsets = (
+            np.concatenate(parts) if parts else np.empty(0, np.int64)
+        )
+        assert len(offsets) == res.count
+        return dataclasses.replace(res, offsets=offsets, overflow=False)
+
     def match(self, data) -> MatchResult:
         arr = as_byte_array(data)
         n = len(arr)

@@ -108,6 +108,36 @@ def test_dist_pattern_spanning_most_shards():
     assert res2.count == 0 and res2.offsets_list() == []
 
 
+def test_dist_multi_pattern_rk_shared_pass():
+    # Multi-pattern through the mesh (config 2 at mesh scale): equal-length
+    # patterns share ONE per-shard rolling-hash pass; mixed lengths group.
+    rng = np.random.default_rng(11)
+    data = bytearray(rng.integers(97, 105, size=6000, dtype=np.uint8).tobytes())
+    p1, p2, p3 = b"ZAP!", b"WOW?", b"LONGER0"
+    shard = 6016 // 8  # padded shard size (pad_multiple 64 * 8)
+    for pos, p in [(0, p1), (shard - 2, p1), (3 * shard - 1, p2),
+                   (2000, p2), (5 * shard - 3, p3), (5990, p1)]:
+        data[pos : pos + len(p)] = p
+    text = bytes(data)
+    pats = [p1, p2, p3]
+    results = match_distributed(text, pats, algo="rabin_karp", config=CFG)
+    assert len(results) == 3
+    for p, r in zip(pats, results):
+        want = find_all(text, p)
+        assert r.count == len(want), p
+        assert r.offsets_list() == want, p
+    assert results[0].algo.startswith("rabin_karp_multi@mesh")
+
+
+def test_dist_multi_pattern_other_algo():
+    text = b"abcabcabc" * 300
+    pats = [b"abca", b"cab"]
+    results = match_distributed(text, pats, algo="kmp", config=CFG.replace(capacity=4096))
+    for p, r in zip(pats, results):
+        want = find_all(text, p)
+        assert r.count == len(want) and r.offsets_list() == want
+
+
 def test_dist_overlapping_across_seams():
     # Periodic pattern overlapping across everything.
     text = b"a" * 2048

@@ -78,7 +78,8 @@ def test_stream_resume(corpus, tmp_path):
                           manifest_path=manifest)
     import jax.numpy as jnp
 
-    total, offs = 0, []
+    sm._journal_reset(0)
+    total, entries = 0, 0
     for ci, start, valid_n, buf in sm._iter_chunks(path, 0):
         if ci >= 2:
             break
@@ -91,12 +92,21 @@ def test_stream_resume(corpus, tmp_path):
             sm._tables_dev,
         )
         o = np.asarray(offsets)
+        kept = o[o >= 0].astype(np.int64) + start
         total += int(count)
-        offs.extend(int(x) + start for x in o[o >= 0])
-        sm._save_manifest(path, ci + 1, total, offs)
+        sm._journal_append(kept)
+        entries += len(kept)
+        sm._save_manifest(path, ci + 1, total, entries)
 
     man = json.load(open(manifest))
     assert man["next_chunk"] == 2
+    assert man["journal_entries"] == entries
+    assert "offsets" not in man  # O(1) manifest: offsets live in the journal
+
+    # Simulate a crash mid-append: a partial trailing record must be
+    # truncated away on resume (the manifest's entry count is the truth).
+    with open(manifest + ".offsets", "ab") as f:
+        f.write(b"\x01\x02\x03")
 
     r = match_stream(path, pat, algo="kmp", config=CFG, chunk_bytes=CHUNK,
                      manifest_path=manifest, resume=True)
@@ -107,6 +117,44 @@ def test_stream_resume(corpus, tmp_path):
     r2 = match_stream(path, b"XSEAMY", algo="kmp", config=CFG,
                       chunk_bytes=CHUNK, manifest_path=manifest, resume=True)
     assert r2.count == len(find_all(data, b"XSEAMY"))
+
+
+def test_stream_multi_pattern(corpus, tmp_path):
+    # One pass over the file serves several patterns (config 2 shape):
+    # equal-length RK patterns share one rolling-hash pass; mixed lengths
+    # group by length.  Per-pattern ownership must hold at chunk seams.
+    path, data, pat = corpus
+    pats = [pat, b"the ", b"e qu", bytes(data[CHUNK - 2 : CHUNK + 2])]
+    manifest = str(tmp_path / "multi.json")
+    cfg = CFG.replace(capacity=1 << 15, verify_capacity=1 << 15)
+    results = match_stream(path, pats, algo="rabin_karp", config=cfg,
+                           chunk_bytes=CHUNK, manifest_path=manifest)
+    assert isinstance(results, list) and len(results) == len(pats)
+    for p, r in zip(pats, results):
+        want = find_all(data, p)
+        assert r.count == len(want), p
+        assert [int(x) for x in r.offsets] == want, p
+    man = json.load(open(manifest))
+    assert len(man["count"]) == len(pats)
+
+    # Multi-pattern resume: identical results from a warm manifest.
+    results2 = match_stream(path, pats, algo="rabin_karp", config=cfg,
+                            chunk_bytes=CHUNK, manifest_path=manifest,
+                            resume=True)
+    for r, r2 in zip(results, results2):
+        assert r2.count == r.count
+        assert [int(x) for x in r2.offsets] == [int(x) for x in r.offsets]
+
+
+def test_stream_multi_pattern_kmp(corpus):
+    # Non-RK algorithms stream multi-pattern too (one unit per pattern).
+    path, data, pat = corpus
+    pats = [pat, b"q"]
+    results = match_stream(path, pats, algo="kmp", config=CFG,
+                           chunk_bytes=CHUNK)
+    for p, r in zip(pats, results):
+        want = find_all(data, p)
+        assert r.count == len(want) and [int(x) for x in r.offsets] == want
 
 
 def test_cli_basic(corpus, tmp_path):

@@ -118,7 +118,8 @@ def main():
         results[algo] = r
         print(
             f"  {algo:12s} {r['bytes_per_s_per_chip'] / 1e9:8.2f} GB/s/chip  "
-            f"(best of {args.iters}, {r['wall_s'] * 1e3:.1f} ms, "
+            f"(median-minus-null-RTT over {args.iters}, "
+            f"{r['wall_s'] * 1e3:.1f} ms, "
             f"count={r['match_count']}, compile {r['compile_s']:.1f}s)",
             file=sys.stderr,
         )

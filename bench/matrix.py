@@ -30,7 +30,11 @@ import sys
 import time
 
 
+ROW_EXTRA: dict = {}  # device/scale stamped on every row (set in main)
+
+
 def emit(row):
+    row = {**row, **ROW_EXTRA}
     print(json.dumps(row), flush=True)
     with open("BENCH_MATRIX.json", "a") as f:
         f.write(json.dumps(row) + "\n")
@@ -88,10 +92,13 @@ def config2(scale):
 
     n = int(1e9 * scale)
     text = gen_english(n, seed=2)
+    # Half synthetic phrases, half drawn from the corpus so several
+    # patterns have real (nonzero) match counts.
     pats = [
         b"quick brown fox ", b"lazy dog and cat", b"parallel device ",
-        b"memory vector la", b"pattern match st", b"search algorithm",
-        b"some very common", b"repeat often in ",
+        b"search algorithm",
+        text[1000:1016], text[n // 2 : n // 2 + 16],
+        text[n // 3 : n // 3 + 16], text[n - 4096 : n - 4080],
     ]
     rs, wall = timed_match(match, text, pats, algo="rabin_karp")
     ok = all(
@@ -174,12 +181,49 @@ def config4(scale):
         assert ok, f"config 4 parity FAILED ({name})"
 
 
-def config5(scale):
+def _gen_corpus_file(path: str, total: int, pat: bytes, seed: int = 5,
+                     plant_every: int = 1 << 30):
+    """Write a ``total``-byte English corpus to ``path`` in 64 MiB segments
+    (bounded RAM), planting ``pat`` at every ``plant_every`` boundary and at
+    EOF.  Returns the list of planted offsets."""
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+        gen_english,
+    )
+
+    seg = 64 << 20
+    planted = []
+    with open(path, "wb") as f:
+        written = 0
+        si = 0
+        while written < total:
+            chunk = bytearray(gen_english(min(seg, total - written),
+                                          seed=seed + si))
+            # plant at plant_every boundaries that fall inside this segment
+            lo, hi = written, written + len(chunk)
+            k = -(-lo // plant_every)
+            while k * plant_every + len(pat) <= hi:
+                off = k * plant_every - lo
+                if off >= 0:
+                    chunk[off : off + len(pat)] = pat
+                    planted.append(k * plant_every)
+                k += 1
+            if hi == total and len(chunk) >= len(pat):
+                chunk[-len(pat):] = pat
+                planted.append(total - len(pat))
+            f.write(chunk)
+            written = hi
+            si += 1
+    return sorted(set(planted))
+
+
+def config5(scale, stream_bytes: int | None = None):
     """All four algorithms / sharded corpus / psum + all-gather merge.
 
     On a pod this runs across N>=2 hosts via parallel/multihost.py; the
     collective path here is identical (shard_map over the data mesh).
-    Streaming covers the out-of-HBM sizes.
+    Streaming covers the out-of-HBM sizes: the in-memory distributed part
+    runs at min(n, 1GB); the streaming part at ``stream_bytes`` (default n)
+    with the corpus generated straight to disk in 64 MiB segments.
     """
     import os
     import tempfile
@@ -193,7 +237,7 @@ def config5(scale):
         gen_english,
     )
 
-    n = int(1e9 * scale)  # BASELINE: 100GB; scaled
+    n = min(int(1e9 * scale), 1 << 30)
     text = gen_english(n, seed=5)
     pat = b"shard merge psum"
     text = text[: n - 16] + pat  # ensure >= 1 match
@@ -213,24 +257,45 @@ def config5(scale):
             }
         )
         assert ok, f"config 5 parity FAILED ({algo})"
-    # streaming variant (chunked, resume-capable)
-    with tempfile.NamedTemporaryFile(delete=False) as f:
-        f.write(text)
-        path = f.name
+    del text
+
+    # Streaming variant (chunked, resume-capable, BASELINE 100GB-class):
+    # corpus generated straight to disk; parity = planted offsets are a
+    # subset of results + spot-window oracle checks (a full in-RAM oracle
+    # at 10-100GB would dominate the run).
+    sn = stream_bytes or int(1e9 * scale)
+    path = os.path.join(tempfile.gettempdir(), f"tpumatch_c5_{sn}.bin")
+    t0 = time.perf_counter()
+    planted = _gen_corpus_file(path, sn, pat, seed=5, plant_every=1 << 29)
+    print(f"  corpus gen: {sn / 1e9:.1f} GB in {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
     try:
         t0 = time.perf_counter()
-        r = match_stream(path, pat, algo="boyer_moore", chunk_bytes=64 << 20)
+        r = match_stream(path, pat, algo="boyer_moore", chunk_bytes=256 << 20)
         wall = time.perf_counter() - t0
-        ok = r.count == len(expected) and [int(x) for x in r.offsets] == expected
+        got = set(int(x) for x in r.offsets)
+        ok = set(planted).issubset(got) and r.count >= len(planted)
+        # spot-check windows around three planted offsets + one random range
+        mm = __import__("numpy").memmap(path, dtype="u1", mode="r")
+        for off in planted[:3]:
+            lo = max(0, off - 4096)
+            win = bytes(mm[lo : off + 4096 + len(pat)])
+            w_want = [x + lo for x in find_all(win, pat)]
+            w_got = [x for x in got if lo <= x <= off + 4096]
+            ok &= sorted(w_got) == sorted(
+                x for x in w_want if lo <= x <= off + 4096
+            )
+        del mm
         emit(
             {
                 "config": 5,
                 "algo": "boyer_moore_stream",
-                "n_bytes": n,
+                "n_bytes": sn,
                 "wall_s": wall,
-                "bytes_per_s": n / wall,
+                "bytes_per_s": sn / wall,
                 "match_count": r.count,
                 "exact_parity": bool(ok),
+                "parity_mode": "planted-subset+spot-windows",
             }
         )
         assert ok, "config 5 streaming parity FAILED"
@@ -242,6 +307,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.05)
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--c5-stream-gb", type=float, default=0.0,
+                    help="config-5 streaming corpus size in GB (0 = scale*1GB)")
     args = ap.parse_args()
 
     import jax
@@ -249,11 +316,21 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    dev = jax.devices()[0]
+    ROW_EXTRA.update(
+        device=f"{dev.platform}/{dev.device_kind}",
+        n_devices=len(jax.devices()),
+        scale=args.scale,
+    )
 
-    fns = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
+    fns = {"1": config1, "2": config2, "3": config3, "4": config4}
     for c in args.configs.split(","):
         print(f"--- config {c} (scale {args.scale}) ---", file=sys.stderr)
-        fns[c](args.scale)
+        if c == "5":
+            sb = int(args.c5_stream_gb * 1e9) or None
+            config5(args.scale, stream_bytes=sb)
+        else:
+            fns[c](args.scale)
 
 
 if __name__ == "__main__":

@@ -111,6 +111,16 @@ def main():
             "bytes_per_s": bps,
             "scaling_efficiency": eff,
             "match_count": r.count,
+            "backend": jax.devices()[0].platform,
+            # On forced CPU host devices the row only proves the collective
+            # CODE PATH; "scaling" over one physical socket is meaningless
+            # and typically anti-scales.  Real efficiency numbers require a
+            # pod slice (the >=90% target, BASELINE.json:5).
+            "mode": (
+                "cpu-mesh-codepath-only"
+                if jax.devices()[0].platform == "cpu"
+                else "real-devices"
+            ),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)

@@ -48,9 +48,10 @@ from . import swar as _swar
 from .swar import DEFAULT_CHUNK_BYTES
 
 # State words per lane: K = ceil(m/32).  Gather cost grows with K (two
-# dynamic_gathers per state word per byte), so the kernel serves m <= 128;
-# the dense-DFA jnp path covers longer patterns.
-MAX_STATE_WORDS = 4
+# dynamic_gathers per state word per byte), so throughput falls roughly as
+# 1/K; K = 8 covers the full BASELINE.json:9 pattern range (4..256 bytes)
+# on-kernel.  The dense-DFA jnp path covers longer patterns.
+MAX_STATE_WORDS = 8
 MAX_SHIFT_AND_PATTERN = 32 * MAX_STATE_WORDS
 
 

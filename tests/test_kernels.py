@@ -250,3 +250,23 @@ def test_rk_roll_long_patterns(m):
     r = RabinKarpMatcher(pat, CFG).match(text)
     assert r.count == len(expected)
     assert r.offsets_list() == expected
+
+
+@pytest.mark.parametrize("m", [129, 192, 256])
+def test_shift_and_k8_long_patterns(m):
+    # K in {5..8} state words (m 129..256, the full BASELINE config-3 span):
+    # seam-straddling plants so the 8-word carry ripple is exercised.
+    C = CFG.pallas_chunk_bytes
+    Cp = C // 8
+    data = bytearray(gen_english(128 * C + 55, seed=33))
+    pat = bytes(data[9000 : 9000 + m])
+    for k, phase in [(2, -m), (10, -1), (18, 0), (130, -m // 2)]:
+        p = k * Cp + phase
+        if 0 <= p <= len(data) - m:
+            data[p : p + m] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert len(expected) >= 4
+    r = KMPMatcher(pat, CFG).match(text)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected

@@ -65,6 +65,23 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
         rtts.append(time.perf_counter() - t0)
     rtt = sorted(rtts)[len(rtts) // 2]
     per_call = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
+
+    # VMEM-residency / working-set sanity from XLA's own memory analysis:
+    # temp (scratch) memory far below n_bytes means the scan streams tiles
+    # through VMEM without HBM round-trips of intermediates (SURVEY.md §5).
+    mem = {}
+    try:
+        compiled = jax.jit(runner).lower(
+            text_dev, words_dev, jnp.int32(n), pat_dev, tables_dev
+        ).compile()
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            mem = {
+                "temp_bytes": getattr(ma, "temp_size_in_bytes", None),
+                "peak_bytes": getattr(ma, "peak_memory_in_bytes", None),
+            }
+    except Exception:
+        pass
     return {
         "algo": algo,
         "n_bytes": n,
@@ -74,6 +91,7 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
         "compile_s": compile_s,
         "match_count": count,
         "iters": iters,
+        **mem,
     }
 
 

@@ -110,6 +110,57 @@ def _probe_indices(M: np.ndarray) -> tuple:
     return tuple(out)
 
 
+def probe_table(pattern: np.ndarray) -> np.ndarray:
+    """int32[4, 2] bad-character-scored probe word indices per alignment
+    (SURVEY.md R4/R10 — the "bad-char skip" heuristic driving the kernel's
+    screen).
+
+    Each candidate full word is scored by the summed bad-character shift of
+    its four bytes (``m-1-last_occurrence`` — exactly the BM bad-char
+    table): bytes that occur nowhere later in the pattern are the most
+    discriminative, the same rarity signal BM's skip rule exploits.  Words
+    whose 4-byte value recurs as another 4-gram of the pattern are heavily
+    penalized (a repeated probe value doubles the screen's false-positive
+    surface — e.g. periodic patterns).  The best pair wins, word separation
+    as tiebreak.  Indices ship to the kernel as runtime scalars, so
+    same-length patterns share one compiled executable.
+    """
+    pat = np.asarray(pattern, dtype=np.uint8)
+    m = len(pat)
+    Mnp = mask_words(m)
+    last = {}
+    for j, c in enumerate(pat.tolist()):
+        last[c] = j
+    bc = {c: m - 1 - j for c, j in last.items()}
+    grams = {}
+    for j in range(max(0, m - 3)):
+        g = bytes(pat[j : j + 4])
+        grams[g] = grams.get(g, 0) + 1
+    out = np.zeros((4, 2), np.int32)
+    for a in range(4):
+        full = np.nonzero(Mnp[a] == -1)[0]
+        if len(full) == 0:
+            continue  # masked word 0 (tiny pattern) — kernel applies mask
+        scores = []
+        for k in full.tolist():
+            b = bytes(pat[4 * k - a : 4 * k - a + 4])
+            s = sum(bc[c] for c in b)
+            if grams.get(b, 0) > 1:
+                s -= 16 * m  # repeated 4-gram: weak probe
+            scores.append((s, k))
+        scores.sort(reverse=True)
+        best = scores[0][1]
+        if len(scores) == 1:
+            out[a] = (best, best)
+        else:
+            # partner: maximize score with separation tiebreak
+            s2, k2 = max(
+                ((s + abs(k - best), k) for s, k in scores if k != best)
+            )
+            out[a] = (min(best, k2), max(best, k2))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Kernel bodies
 # ---------------------------------------------------------------------------
@@ -291,6 +342,64 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
 
 
+def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, h_ref, cnt_ref,
+                         nib_ref, bs_ref, ext_ref, *, W, C, m, Mnp):
+    """Boyer-Moore execution with TABLE-DRIVEN probes: identical skip
+    structure to ``_screened_kernel``, but the probe word indices arrive as
+    runtime scalars (pr_ref: int32[4, 2], from ``probe_table`` — bad-char-
+    scored rarity selection).  The probe view comes from a dynamic rotate
+    (tpu.dynamic_rotate) since the index is not a compile-time constant;
+    same-length patterns share one executable."""
+    ext_ref[:, :W] = x_ref[:]
+    ext_ref[:, W:] = h_ref[:]
+    ext = ext_ref[:]
+    size = ext.shape[1]
+
+    scr = None
+    for a in range(4):
+        acc = None
+        for s in range(2):
+            k = pr_ref[a, s]
+            w = pltpu.roll(ext, shift=size - k, axis=1)[:, :W]
+            # Masked compare: interior probes have an all-ones mask (the
+            # AND is then an identity), tiny-pattern probes a partial one.
+            eq = (w & M_ref[a, k]) == P_ref[a, k]
+            acc = eq if acc is None else (acc & eq)
+        scr = acc if scr is None else (scr | acc)
+    hit = jnp.any(scr)
+    nib_ref[:] = jnp.zeros((128, W), jnp.int32)
+
+    nw = Mnp.shape[1]
+
+    @pl.when(hit)
+    def _():
+        nib = jnp.zeros((128, W), jnp.int32)
+        for a in range(4):
+            if nw <= STATIC_NW:
+                acc = _compare_chain(ext_ref[:], a, W, P_ref, M_ref, Mnp)
+            else:
+                acc = _loop_chain(ext_ref, a, W, nw, P_ref, M_ref)
+            nib |= acc.astype(jnp.int32) << a
+        nib_ref[:] = nib
+
+    i = pl.program_id(0)
+    tile_last = (i + 1) * (128 * C) - 1
+    nlim = n_ref[0] - m
+
+    @pl.when(tile_last > nlim)
+    def _():
+        nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
+
+    bs = _block_sums(nib_ref[:], W)
+    bs_ref[...] = bs
+
+    @pl.when(i == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call builders (cached per shape class)
 # ---------------------------------------------------------------------------
@@ -304,8 +413,9 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
     L = Nk // C
     nt = L // 128
     Mnp = np.frombuffer(Mkey, dtype=np.int32).reshape(4, nw)
-    assert mode in ("naive", "screened")
-    n_scalars = 3  # (n, P, M)
+    assert mode in ("naive", "screened", "screened_dyn")
+    # scalar prefetch: (n, P, M) + the probe-index table in dyn mode
+    n_scalars = 4 if mode == "screened_dyn" else 3
     idx = lambda i, *scalars: (i, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalars,
@@ -325,6 +435,8 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
     if mode == "screened":
         kern = functools.partial(_screened_kernel, W=W, C=C, m=m, Mnp=Mnp,
                                  probes=probes)
+    elif mode == "screened_dyn":
+        kern = functools.partial(_screened_dyn_kernel, W=W, C=C, m=m, Mnp=Mnp)
     else:
         kern = functools.partial(_naive_kernel, W=W, C=C, m=m, Mnp=Mnp)
     return pl.pallas_call(
@@ -369,10 +481,11 @@ def nibble_to_bool(nib: jnp.ndarray) -> jnp.ndarray:
 
 
 def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
-         interpret: bool, words=None):
+         interpret: bool, words=None, probe_idx=None):
     """Shared kernel driver: returns (start-nibble int32[Nk/4], block sums
     int32[Nk/512], cut) or (None, None, 0) when the input is below the
-    kernel threshold (caller falls back to the jnp path)."""
+    kernel threshold (caller falls back to the jnp path).  ``probe_idx``
+    (int32[4, 2], screened_dyn mode): runtime probe-word indices."""
     N = text_u8.shape[0]
     # Full-tile compare chains spill ~17MB of scoped VMEM at C=8192
     # (measured); a 4 KiB chunk keeps them ~8MB with ~4% slower scans.
@@ -404,7 +517,12 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     # excludes them, making its nibbles AND block sums exactly the
     # region's final truth (emission can skip its own prepass).
     n_k = jnp.minimum(jnp.asarray(n, jnp.int32), jnp.int32(Nk))
-    _, nib, bs = call(n_k.reshape(1), P, M, x, h)
+    if mode == "screened_dyn":
+        _, nib, bs = call(
+            n_k.reshape(1), P, M, jnp.asarray(probe_idx, jnp.int32), x, h
+        )
+    else:
+        _, nib, bs = call(n_k.reshape(1), P, M, x, h)
     cut = Nk - (m - 1) if m > 1 else Nk
     nt = L // 128
     jblk = W // 128
@@ -428,7 +546,10 @@ def naive_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
 
 
 def screened_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                 interpret: bool = False, words=None):
-    """Screened (Boyer-Moore) variant of naive_nib."""
-    return _run(text_u8, n, P, m, mode="screened", chunk_bytes=chunk_bytes,
-                interpret=interpret, words=words)
+                 interpret: bool = False, words=None, probe_idx=None):
+    """Screened (Boyer-Moore) variant of naive_nib.  With ``probe_idx``
+    (from ``probe_table``) the screen uses bad-char-scored probes passed as
+    runtime scalars; otherwise the static first/last full-word probes."""
+    mode = "screened_dyn" if probe_idx is not None else "screened"
+    return _run(text_u8, n, P, m, mode=mode, chunk_bytes=chunk_bytes,
+                interpret=interpret, words=words, probe_idx=probe_idx)

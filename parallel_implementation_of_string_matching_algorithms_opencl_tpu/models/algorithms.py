@@ -268,6 +268,9 @@ class BoyerMooreMatcher(Matcher):
         return {
             "bad_char": tables.bm_bad_char(pat),
             "good_suffix": tables.bm_good_suffix(pat),
+            # Bad-char-scored probe indices for the kernel screen (runtime
+            # scalars: same-length patterns share one executable).
+            "swar_pr": swar.probe_table(pat),
             **_swar_tables(pat),
         }
 
@@ -294,12 +297,17 @@ class BoyerMooreMatcher(Matcher):
             return None
         # Screened SWAR kernel: the probe screen is the vectorized
         # bad-character heuristic; sub-blocks with no probe hit skip the
-        # verify loop entirely (tile-granular skip-loop).
+        # verify loop entirely (tile-granular skip-loop).  bm_probes=table
+        # feeds bad-char-scored probe indices (tables.bm_bad_char rarity)
+        # to the kernel as runtime scalars.
         # Logical n, not padded N — see NaiveMatcher._direct.
         nib, bsums, cut = swar.screened_nib(
             text, n, tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
+            probe_idx=(
+                tables_["swar_pr"] if config.bm_probes == "table" else None
+            ),
         )
         if nib is None:
             return None

@@ -23,6 +23,12 @@ class MatchConfig:
     bm_chunk: int = 4096
     # 'filtered' (vectorized screen+verify, default) or 'cursor' (skip loop).
     bm_variant: str = "filtered"
+    # Boyer-Moore screen probe selection: 'table' scores candidate probe
+    # words by the pattern's bad-character shifts (rarity-driven, passed to
+    # the kernel as runtime scalars so same-length patterns share one
+    # executable); 'static' uses the first/last full words baked in at
+    # compile time (round-1 behavior).
+    bm_probes: str = "table"
     # Pad text length to a multiple of this (TPU lane/sublane friendliness).
     pad_multiple: int = 1024
     # Use Pallas kernels where available ("auto" = on TPU backends only,

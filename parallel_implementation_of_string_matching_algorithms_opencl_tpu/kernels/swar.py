@@ -407,8 +407,16 @@ def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, h_ref, cnt_ref,
 
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
-                Mkey: bytes, probes: tuple, interpret: bool):
-    """mode: 'naive' | 'screened' | 'rk'."""
+                Mkey: bytes, probes: tuple, interpret: bool,
+                nib_out: bool = True):
+    """mode: 'naive' | 'screened' | 'screened_dyn'.
+
+    ``nib_out=False`` builds the bsums-only variant: the nibble plane lives
+    in a VMEM scratch instead of an HBM output, so the kernel's HBM traffic
+    drops from (read N + write N) to (read N + write N/128) — the
+    emission-prepass shave (round-1 verdict, next #8).  Offsets are then
+    reconstructed sparsely from the block sums (ops/emit.bsums_to_matches).
+    """
     W = C // 4
     L = Nk // C
     nt = L // 128
@@ -417,6 +425,9 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
     # scalar prefetch: (n, P, M) + the probe-index table in dyn mode
     n_scalars = 4 if mode == "screened_dyn" else 3
     idx = lambda i, *scalars: (i, 0)
+    nib_spec = pl.BlockSpec((128, W), idx, memory_space=pltpu.VMEM)
+    bs_spec = pl.BlockSpec((max(W // 128, 8), 128), idx,
+                           memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalars,
         grid=(nt,),
@@ -425,12 +436,18 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
             pl.BlockSpec((128, HALO_WORDS), idx, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((128, W), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(W // 128, 8), 128), idx,
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec(memory_space=pltpu.SMEM), nib_spec, bs_spec)
+            if nib_out
+            else (pl.BlockSpec(memory_space=pltpu.SMEM), bs_spec)
         ),
-        scratch_shapes=[pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)],
+        scratch_shapes=(
+            [pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)]
+            if nib_out
+            else [
+                pltpu.VMEM((128, W + HALO_WORDS), jnp.int32),
+                pltpu.VMEM((128, W), jnp.int32),  # scratch nibble plane
+            ]
+        ),
     )
     if mode == "screened":
         kern = functools.partial(_screened_kernel, W=W, C=C, m=m, Mnp=Mnp,
@@ -439,15 +456,35 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
         kern = functools.partial(_screened_dyn_kernel, W=W, C=C, m=m, Mnp=Mnp)
     else:
         kern = functools.partial(_naive_kernel, W=W, C=C, m=m, Mnp=Mnp)
+    if not nib_out:
+        # Same kernel body; the nibble plane ref is the trailing VMEM
+        # scratch rather than an output.  Leading refs: scalar prefetch +
+        # inputs (naive/screened: n,P,M,x,h = 5; screened_dyn adds pr = 6).
+        n_lead = n_scalars + 2
+        body = kern
+
+        def kern(*refs):
+            lead = refs[:n_lead]
+            cnt_ref, bs_ref, ext_ref, nib_scr = refs[n_lead:]
+            body(*lead, cnt_ref, nib_scr, bs_ref, ext_ref)
+
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((L, W), jnp.int32),
-            # per-tile block sums, bs[tile][j, r] = matches in nib row r,
-            # lane block j (reordered to flat-block order by the caller)
-            jax.ShapeDtypeStruct((nt * max(W // 128, 8), 128), jnp.int32),
+            (
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                jax.ShapeDtypeStruct((L, W), jnp.int32),
+                # per-tile block sums, bs[tile][j, r] = matches in nib row
+                # r, lane block j (reordered to flat-block order by the
+                # caller)
+                jax.ShapeDtypeStruct((nt * max(W // 128, 8), 128), jnp.int32),
+            )
+            if nib_out
+            else (
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                jax.ShapeDtypeStruct((nt * max(W // 128, 8), 128), jnp.int32),
+            )
         ),
         interpret=interpret,
     )
@@ -481,11 +518,14 @@ def nibble_to_bool(nib: jnp.ndarray) -> jnp.ndarray:
 
 
 def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
-         interpret: bool, words=None, probe_idx=None):
+         interpret: bool, words=None, probe_idx=None, emit_nib=True):
     """Shared kernel driver: returns (start-nibble int32[Nk/4], block sums
     int32[Nk/512], cut) or (None, None, 0) when the input is below the
     kernel threshold (caller falls back to the jnp path).  ``probe_idx``
-    (int32[4, 2], screened_dyn mode): runtime probe-word indices."""
+    (int32[4, 2], screened_dyn mode): runtime probe-word indices.
+    ``emit_nib=False``: bsums-only kernel — the nibble element of the
+    result is None and offsets must be reconstructed sparsely from the
+    block sums (ops/emit.bsums_to_matches)."""
     N = text_u8.shape[0]
     # Full-tile compare chains spill ~17MB of scoped VMEM at C=8192
     # (measured); a 4 KiB chunk keeps them ~8MB with ~4% slower scans.
@@ -511,18 +551,22 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
         [x[1:, :HALO_WORDS], jnp.zeros((1, HALO_WORDS), jnp.int32)], axis=0
     )
     call = _build_call(Nk, C, m, nw, mode,
-                       Mnp.tobytes(), probes, interpret)
+                       Mnp.tobytes(), probes, interpret, emit_nib)
     # Clamp the kernel's validity to its own coverage: positions past
     # cut = Nk-(m-1) are re-scanned by the caller's tail, so the kernel
     # excludes them, making its nibbles AND block sums exactly the
     # region's final truth (emission can skip its own prepass).
     n_k = jnp.minimum(jnp.asarray(n, jnp.int32), jnp.int32(Nk))
     if mode == "screened_dyn":
-        _, nib, bs = call(
+        out = call(
             n_k.reshape(1), P, M, jnp.asarray(probe_idx, jnp.int32), x, h
         )
     else:
-        _, nib, bs = call(n_k.reshape(1), P, M, x, h)
+        out = call(n_k.reshape(1), P, M, x, h)
+    if emit_nib:
+        _, nib, bs = out
+    else:
+        (_, bs), nib = out, None
     cut = Nk - (m - 1) if m > 1 else Nk
     nt = L // 128
     jblk = W // 128
@@ -532,24 +576,28 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
         .transpose(0, 2, 1)
         .reshape(-1)
     )  # global block g = (tile*128 + r)*jblk + j
-    return nib.reshape(-1), bs_flat, cut
+    return (nib.reshape(-1) if nib is not None else None), bs_flat, cut
 
 
 def naive_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-              interpret: bool = False, words=None):
+              interpret: bool = False, words=None, emit_nib=True):
     """(start-nibble int32[Nk/4], block sums, cut) or (None, None, 0) —
     the full-verify (naive) scan.  Pass ``words`` (the host int32 view of
     the text buffer) to skip the device repack.  See ops/emit.py
-    nibble_to_matches for the consumption side."""
+    nibble_to_matches for the consumption side.  ``emit_nib=False`` keeps
+    the nibble plane in VMEM scratch (nib element None) and halves kernel
+    HBM traffic; consume via ops/emit.bsums_to_matches."""
     return _run(text_u8, n, P, m, mode="naive", chunk_bytes=chunk_bytes,
-                interpret=interpret, words=words)
+                interpret=interpret, words=words, emit_nib=emit_nib)
 
 
 def screened_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                 interpret: bool = False, words=None, probe_idx=None):
+                 interpret: bool = False, words=None, probe_idx=None,
+                 emit_nib=True):
     """Screened (Boyer-Moore) variant of naive_nib.  With ``probe_idx``
     (from ``probe_table``) the screen uses bad-char-scored probes passed as
     runtime scalars; otherwise the static first/last full-word probes."""
     mode = "screened_dyn" if probe_idx is not None else "screened"
     return _run(text_u8, n, P, m, mode=mode, chunk_bytes=chunk_bytes,
-                interpret=interpret, words=words, probe_idx=probe_idx)
+                interpret=interpret, words=words, probe_idx=probe_idx,
+                emit_nib=emit_nib)

@@ -70,11 +70,13 @@ class NaiveMatcher(Matcher):
             text, n, tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
+            emit_nib=config.emission != "sparse",
         )
-        if nib is None:
+        if cut == 0:
             return None
         tail = naive_ops.naive_start_mask(text[cut:], pattern)
-        return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums)
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums,
+                                   text=text, pattern=pattern)
 
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):
@@ -308,8 +310,10 @@ class BoyerMooreMatcher(Matcher):
             probe_idx=(
                 tables_["swar_pr"] if config.bm_probes == "table" else None
             ),
+            emit_nib=config.emission != "sparse",
         )
-        if nib is None:
+        if cut == 0:
             return None
         tail = naive_ops.naive_start_mask(text[cut:], pattern)
-        return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums)
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums,
+                                   text=text, pattern=pattern)

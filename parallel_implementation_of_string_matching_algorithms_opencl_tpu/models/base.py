@@ -81,23 +81,40 @@ class Matcher:
     # -- shared kernel-region + tail merge for _direct implementations ----
 
     @staticmethod
-    def _merge_nib_tail(nib, cut, n, m, tail_mask, config: MatchConfig,
-                        bsums=None):
-        """Combine a kernel start-nibble region [0, cut) with a bool tail
-        mask over [cut, N) into the final (count, offsets, overflow).
-        ``bsums``: kernel-computed block popcounts (limit already applied
-        in-kernel) — lets emission skip its full-mask prepass."""
+    def _merge_tail(c1, o1, v1, cut, n, m, tail_mask, config: MatchConfig):
+        """Merge an already-extracted kernel region [0, cut) with a bool
+        tail mask over [cut, N)."""
         from ..ops import emit as _emit
 
-        limit_k = jnp.minimum(n - m, cut - 1)
-        c1, o1, v1 = _emit.nibble_to_matches(
-            nib, limit_k, config.capacity, bsums=bsums
-        )
         tail_valid = _emit.valid_start_mask(tail_mask, n - cut, m)
         c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)
         return _emit.merge_region_matches(
             c1, o1, v1, c2, o2, v2, config.capacity, cut
         )
+
+    @classmethod
+    def _merge_nib_tail(cls, nib, cut, n, m, tail_mask, config: MatchConfig,
+                        bsums=None, text=None, pattern=None):
+        """Combine a kernel region [0, cut) with a bool tail mask over
+        [cut, N) into the final (count, offsets, overflow).
+
+        ``bsums``: kernel-computed block popcounts (limit already applied
+        in-kernel).  With ``nib`` they let emission skip its full-mask
+        prepass; with ``nib=None`` (bsums-only kernels) offsets are
+        reconstructed sparsely from ``text``/``pattern`` via
+        emit.bsums_to_matches — no O(N) mask ever exists in HBM."""
+        from ..ops import emit as _emit
+
+        limit_k = jnp.minimum(n - m, cut - 1)
+        if nib is None:
+            c1, o1, v1 = _emit.bsums_to_matches(
+                bsums, text, pattern, limit_k, config.capacity
+            )
+        else:
+            c1, o1, v1 = _emit.nibble_to_matches(
+                nib, limit_k, config.capacity, bsums=bsums
+            )
+        return cls._merge_tail(c1, o1, v1, cut, n, m, tail_mask, config)
 
     # -- execution ----------------------------------------------------------
 

@@ -189,6 +189,98 @@ def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int, bsums=None):
     return count, out, count > capacity
 
 
+BLOCK_BYTES = 512  # kernel block-sum granularity (128 int32 words)
+
+# Sparse-extraction gather tier: blocks-with-matches beyond this take the
+# full-capacity gather branch.
+_SMALL_BLOCKS = 1024
+
+
+def window_start_mask(windows: jnp.ndarray, pattern: jnp.ndarray):
+    """bool[B, L] start mask per gathered window row, L = row_len - m + 1.
+
+    Row-vectorized form of naive_start_mask (same unroll-vs-fori policy);
+    the exact-match ground truth for ANY algorithm's match set, which is
+    what makes block-sparse reconstruction algorithm-agnostic.
+    """
+    import jax
+
+    from .naive import UNROLL_LIMIT
+
+    B, row_len = windows.shape
+    m = pattern.shape[0]
+    L = row_len - m + 1
+    if m <= UNROLL_LIMIT:
+        mask = windows[:, 0:L] == pattern[0]
+        for j in range(1, m):
+            mask &= windows[:, j : j + L] == pattern[j]
+        return mask
+
+    def body(j, mask):
+        win = jax.lax.dynamic_slice(windows, (0, j), (B, L))
+        return mask & (win == pattern[j])
+
+    return jax.lax.fori_loop(0, m, body, jnp.ones((B, L), jnp.bool_))
+
+
+def bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
+                     pattern: jnp.ndarray, limit, capacity: int):
+    """(count, offsets[capacity], overflow) from per-block popcounts ALONE.
+
+    ``bs``: int32[NB] match-start counts per BLOCK_BYTES-byte block with all
+    validity (n-m clamp, kernel coverage cut) already applied in-kernel.
+    The kernel never materializes a position mask in HBM; offsets are
+    reconstructed here by gathering ONLY the blocks that contain matches
+    and re-deriving their start positions by direct window compare — the
+    exact-match truth every algorithm's match set equals.  Work and memory
+    scale with the match count (O(count) blocks of 512 B), not with N:
+    this removes the O(N) nibble write + read that cost the naive e2e path
+    ~50% of its wall time (round-1 verdict, next #8).
+
+    ``limit``: maximum valid start position (re-applied here because the
+    recompute sees raw window-compare truth, including positions the kernel
+    clamped — e.g. NUL-suffixed patterns matching in the padding tail).
+    """
+    import jax
+
+    nb = bs.shape[0]
+    L = BLOCK_BYTES
+    m = pattern.shape[0]
+    row_len = L + m - 1
+    count = jnp.sum(bs, dtype=jnp.int32)
+    blk = bs > 0
+    nblk = jnp.sum(blk, dtype=jnp.int32)
+
+    def extract(cap_b: int):
+        gids = masked_positions(blk, cap_b, fill=nb)
+        base = gids * L
+        idx = base[:, None] + jnp.arange(row_len, dtype=jnp.int32)[None, :]
+        win = text.at[idx].get(mode="fill", fill_value=0)
+        sm = window_start_mask(win, pattern)  # (cap_b, L)
+        gpos = base[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+        sm = sm & (gpos <= limit)
+        # Rows ascend (gids ascending) and columns ascend within a row, so
+        # flat rank order IS global offset order.
+        off_flat = _rank_select_bool(sm.reshape(-1), count, capacity)
+        row = jnp.clip(off_flat // L, 0, cap_b - 1)
+        pos = gids[row] * L + off_flat % L
+        return jnp.where(off_flat >= 0, pos, FILL)
+
+    # Every nonzero block holds >= 1 match, so ``capacity`` blocks always
+    # suffice to produce the first ``capacity`` offsets (incl. overflow).
+    cap_full = min(capacity, nb)
+    if cap_full <= _SMALL_BLOCKS:
+        offsets = extract(cap_full)
+    else:
+        offsets = jax.lax.cond(
+            nblk <= _SMALL_BLOCKS,
+            lambda _: extract(_SMALL_BLOCKS),
+            lambda _: extract(cap_full),
+            operand=None,
+        )
+    return count, offsets, count > capacity
+
+
 def nibble_positions(nib: jnp.ndarray, limit, capacity: int, fill: int):
     """First ``capacity`` set-bit byte positions (ascending, ``fill``-padded)
     — candidate extraction for screen+verify pipelines."""

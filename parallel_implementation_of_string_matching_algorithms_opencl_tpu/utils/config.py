@@ -38,6 +38,11 @@ class MatchConfig:
     interpret: bool = False
     # Bytes per SWAR kernel chunk (per-lane sequential run; VMEM-tuned).
     pallas_chunk_bytes: int = 8192
+    # Offset emission for the SWAR kernels: 'sparse' keeps the match-nibble
+    # plane in VMEM scratch and reconstructs offsets from per-512B block
+    # sums (kernel HBM traffic = read N + write N/128); 'nib' writes the
+    # full nibble plane to HBM (read N + write N) and rank-selects it.
+    emission: str = "sparse"
     # Rabin-Karp base override (odd uint32); None = ops.tables.RK_BASE.
     rk_base: int | None = None
 

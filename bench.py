@@ -29,7 +29,7 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
     )
 
     matcher = get_matcher(algo)(pattern, cfg)
-    runner = matcher._runner(cfg)
+    runner = matcher._runner(matcher.config)  # per-pattern specialized
     text_dev = jax.device_put(jnp.asarray(text_np))
     words_dev = jax.device_put(jnp.asarray(text_np.view(np.int32)))
     pat_dev = jax.device_put(jnp.asarray(matcher.pattern_arr))
@@ -103,6 +103,9 @@ def main():
     ap.add_argument("--corpus", default="english")
     ap.add_argument("--pattern", default="quick brown fox ")
     ap.add_argument("--headline", default="boyer_moore")
+    ap.add_argument("--emission", default=None, choices=["sparse", "nib"],
+                    help="override MatchConfig.emission for A/B timing")
+    ap.add_argument("--detail-out", default="BENCH_DETAIL.json")
     args = ap.parse_args()
 
     import jax
@@ -125,7 +128,8 @@ def main():
     text = GENERATORS[args.corpus](n, seed=42)
     text_np = pad_to_multiple(np.frombuffer(text, dtype=np.uint8), 1024)
     pattern = args.pattern.encode()
-    cfg = MatchConfig()
+    cfg = (MatchConfig(emission=args.emission) if args.emission
+           else MatchConfig())
     dev = jax.devices()[0]
     print(f"device: {dev.platform} / {dev.device_kind}", file=sys.stderr)
 
@@ -142,7 +146,7 @@ def main():
             file=sys.stderr,
         )
 
-    with open("BENCH_DETAIL.json", "w") as f:
+    with open(args.detail_out, "w") as f:
         json.dump(
             {"device": f"{dev.platform}/{dev.device_kind}", "results": results},
             f,

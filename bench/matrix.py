@@ -312,7 +312,7 @@ def config4(scale):
     ):
         pat = corpus[1000:1024]  # 24-byte pattern drawn from the corpus
         matcher = get_matcher("boyer_moore")(pat, cfg)
-        runner = matcher._runner(cfg)
+        runner = matcher._runner(matcher.config)
         text_np = pad_to_multiple(
             np.frombuffer(corpus, np.uint8), cfg.pad_multiple
         )
@@ -375,7 +375,8 @@ def _gen_corpus_file(path: str, total: int, pat: bytes, seed: int = 5,
     return sorted(set(planted))
 
 
-def config5(scale, stream_bytes: int | None = None):
+def config5(scale, stream_bytes: int | None = None,
+            dist_bytes: int | None = None):
     """All four algorithms / sharded corpus / psum + all-gather merge.
 
     On a pod this runs across N>=2 hosts via parallel/multihost.py; the
@@ -416,7 +417,7 @@ def config5(scale, stream_bytes: int | None = None):
         pad_to_multiple,
     )
 
-    n = min(int(1e9 * scale), 1 << 30)
+    n = dist_bytes or min(int(1e9 * scale), 1 << 30)
     text = gen_english(n, seed=5)
     pat = b"shard merge psum"
     text = text[: n - 16] + pat  # ensure >= 1 match
@@ -510,10 +511,28 @@ def main():
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--c5-stream-gb", type=float, default=0.0,
                     help="config-5 streaming corpus size in GB (0 = scale*1GB)")
+    ap.add_argument("--c5-dist-mb", type=int, default=0,
+                    help="config-5 in-memory distributed size in MB "
+                         "(0 = scale*1GB; cap it on the CPU mesh, whose "
+                         "8 device threads share 4 cores and trip XLA's "
+                         "40s collective-rendezvous timeout at ~1GB)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU jax backend with an 8-device mesh "
+                         "(config 1 spec; config 5 collective path)")
     args = ap.parse_args()
+
+    import os
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -529,7 +548,8 @@ def main():
         print(f"--- config {c} (scale {args.scale}) ---", file=sys.stderr)
         if c == "5":
             sb = int(args.c5_stream_gb * 1e9) or None
-            config5(args.scale, stream_bytes=sb)
+            db = args.c5_dist_mb * (1 << 20) or None
+            config5(args.scale, stream_bytes=sb, dist_bytes=db)
         else:
             fns[c](args.scale)
 

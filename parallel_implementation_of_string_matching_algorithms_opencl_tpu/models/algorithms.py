@@ -266,12 +266,22 @@ class BoyerMooreMatcher(Matcher):
 
     name = "boyer_moore"
 
+    @classmethod
+    def _specialize_config(cls, config: MatchConfig,
+                           pat: np.ndarray) -> MatchConfig:
+        if config.bm_probes == "table" and config.bm_probe_layout is None:
+            layout = swar.static_probes_from_table(swar.probe_table(pat))
+            return config.replace(bm_probe_layout=layout)
+        return config
+
     def _precompute(self, pat: np.ndarray) -> dict:
         return {
             "bad_char": tables.bm_bad_char(pat),
             "good_suffix": tables.bm_good_suffix(pat),
-            # Bad-char-scored probe indices for the kernel screen (runtime
-            # scalars: same-length patterns share one executable).
+            # Bad-char-scored probe indices for the runtime-scalar screen
+            # variant (bm_probes='table_dyn': same-length patterns share
+            # one executable at ~2x screen cost; the default 'table' mode
+            # bakes the same scores in statically via _specialize_config).
             "swar_pr": swar.probe_table(pat),
             **_swar_tables(pat),
         }
@@ -299,16 +309,22 @@ class BoyerMooreMatcher(Matcher):
             return None
         # Screened SWAR kernel: the probe screen is the vectorized
         # bad-character heuristic; sub-blocks with no probe hit skip the
-        # verify loop entirely (tile-granular skip-loop).  bm_probes=table
-        # feeds bad-char-scored probe indices (tables.bm_bad_char rarity)
-        # to the kernel as runtime scalars.
+        # verify loop entirely (tile-granular skip-loop).  The default
+        # bm_probes='table' bakes bad-char-scored probe indices
+        # (tables.bm_bad_char rarity) in as compile-time constants via the
+        # specialized config; 'table_dyn' ships them as runtime scalars.
         # Logical n, not padded N — see NaiveMatcher._direct.
         nib, bsums, cut = swar.screened_nib(
             text, n, tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
             probe_idx=(
-                tables_["swar_pr"] if config.bm_probes == "table" else None
+                tables_["swar_pr"] if config.bm_probes == "table_dyn"
+                else None
+            ),
+            static_probes=(
+                config.bm_probe_layout if config.bm_probes == "table"
+                else None
             ),
             emit_nib=config.emission != "sparse",
         )

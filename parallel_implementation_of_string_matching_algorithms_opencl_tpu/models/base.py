@@ -51,12 +51,23 @@ class Matcher:
             raise ValueError("empty pattern")
         self.pattern_bytes = bytes(pattern)
         self.m = len(pattern)
-        self.config = config
         pat = np.frombuffer(self.pattern_bytes, dtype=np.uint8)
+        # Per-pattern config specialization (e.g. BM probe layout baked as
+        # kernel constants).  The specialized config is what must key every
+        # jit cache / runner build — use ``matcher.config``, not the config
+        # object the caller constructed.
+        self.config = self._specialize_config(config, pat)
         self.pattern_arr = pat
         self.tables = self._precompute(pat)
 
     # -- subclass hooks -----------------------------------------------------
+
+    @classmethod
+    def _specialize_config(cls, config: MatchConfig,
+                           pat: np.ndarray) -> MatchConfig:
+        """Stamp concrete per-pattern compile-time choices into the config
+        (hashable; keys the jit caches).  Default: unchanged."""
+        return config
 
     def _precompute(self, pat: np.ndarray) -> dict:
         """Host-side table precompute; returns a dict of numpy arrays that is

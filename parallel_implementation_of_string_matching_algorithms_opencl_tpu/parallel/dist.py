@@ -76,7 +76,9 @@ class DistributedMatcher:
         self.mesh = mesh if mesh is not None else make_data_mesh()
         self.n_shards = self.mesh.shape[DATA_AXIS]
         self.matcher = get_matcher(algo)(pattern, config)
-        self.config = config
+        # The matcher may specialize the config per pattern (BM probe
+        # layout); the specialized one must key _build's cache.
+        self.config = self.matcher.config
         self.m = self.matcher.m
 
     # -- traced per-shard body -------------------------------------------

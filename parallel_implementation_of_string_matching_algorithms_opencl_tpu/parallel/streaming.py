@@ -105,10 +105,10 @@ class StreamingMatcher:
                 mm = RabinKarpMultiMatcher(
                     [self.patterns[i] for i in idxs], config
                 )
-                runner = mm._runner(config, mm.k)
+                runner = mm._runner(mm.config, mm.k)
             else:
                 mm = get_matcher(algo)(self.patterns[idxs[0]], config)
-                runner = mm._runner(config)
+                runner = mm._runner(mm.config)  # per-pattern specialized
             self._units.append(
                 _Unit(
                     matcher=mm,

@@ -105,6 +105,9 @@ def main():
     ap.add_argument("--headline", default="boyer_moore")
     ap.add_argument("--emission", default=None, choices=["sparse", "nib"],
                     help="override MatchConfig.emission for A/B timing")
+    ap.add_argument("--bm-probes", default=None,
+                    choices=["table", "table_dyn", "static"],
+                    help="override MatchConfig.bm_probes for A/B timing")
     ap.add_argument("--detail-out", default="BENCH_DETAIL.json")
     args = ap.parse_args()
 
@@ -128,8 +131,11 @@ def main():
     text = GENERATORS[args.corpus](n, seed=42)
     text_np = pad_to_multiple(np.frombuffer(text, dtype=np.uint8), 1024)
     pattern = args.pattern.encode()
-    cfg = (MatchConfig(emission=args.emission) if args.emission
-           else MatchConfig())
+    cfg = MatchConfig()
+    if args.emission:
+        cfg = cfg.replace(emission=args.emission)
+    if args.bm_probes:
+        cfg = cfg.replace(bm_probes=args.bm_probes)
     dev = jax.devices()[0]
     print(f"device: {dev.platform} / {dev.device_kind}", file=sys.stderr)
 

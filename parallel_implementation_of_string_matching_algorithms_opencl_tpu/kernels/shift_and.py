@@ -76,17 +76,56 @@ def b_table(pattern: np.ndarray) -> np.ndarray:
     return np.broadcast_to(halves[:, :, None, :], (K, 2, 8, 128)).copy()
 
 
-def _kernel(n_ref, bt_ref, x3_ref, nibE_ref, *, G, m, K):
+def _end_to_start_bsums(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
+    """Fold the END-position nibble plane (VMEM) to per-512-byte-block
+    START counts with validity applied — the bsums-only epilogue that lets
+    the kernel skip the O(N) nibble HBM write entirely (the start nibbles
+    live and die in registers/VMEM).
+
+    Start word g' of a sub-chunk draws bit b from end word g'+q bit b+r
+    (q, r = divmod(m-1, 4)) — the same static-slice shift as
+    ``end_nibble3_to_start_nib``, done in-kernel.  Validity mirrors
+    swar._validity_nibble: element [s, g', lane] of grid step i covers
+    byte (i*128+lane)*C + s*(C/8) + 4*g'."""
+    q, r = divmod(m - 1, 4)
+    E = nibE_ref[:]  # (8, G8, 128); words hold 4 low bits only
+    lo = E[:, q : q + W8, :]
+    if r == 0:
+        sn = lo
+    else:
+        hi = E[:, q + 1 : q + 1 + W8, :]
+        sn = ((lo >> r) | (hi << (4 - r))) & 0xF
+    i = pl.program_id(0)
+    shp = (8, W8, 128)
+    sub = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    gw = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+    word_pos = (i * 128 + lane) * C + sub * (C // 8) + gw * 4
+    nlim = jnp.minimum(n_ref[0], jnp.int32(Nk)) - m
+    keep = jnp.clip(nlim - word_pos + 1, 0, 4)
+    sn = sn & ((1 << keep) - 1)
+    pc = (sn & 1) + ((sn >> 1) & 1) + ((sn >> 2) & 1) + ((sn >> 3) & 1)
+    nbs = W8 // 128  # 512-byte blocks per sub-chunk
+    per = jnp.sum(pc.reshape(8, nbs, 128, 128), axis=2)  # (8, nbs, 128)
+    bs_ref[...] = per
+
+
+def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
+            emit="nib", W8=0, C=0, Nk=0):
     """x3_ref: (8, G*8, 128) words — sub-chunk s of chunk l at [s, :, l],
     zero-padded past the (W8 + HS) real words.
-    nibE_ref: (8, G*8, 128) int32 — bit b of [s, g, l] = match ENDING at
-    scan byte 4*g+b of sub-chunk s of chunk l.
+    emit='nib': out_ref = nibE (8, G*8, 128) int32 — bit b of [s, g, l] =
+    match ENDING at scan byte 4*g+b of sub-chunk s of chunk l.
+    emit='bsums': out_ref = (8, W8/128, 128) per-512-byte-block START
+    counts (validity applied); nibE goes to a VMEM scratch and is folded
+    by ``_end_to_start_bsums`` — no O(N) HBM write.
     bt_ref: (K, 2, 8, 128) B-table halves; state spans K int32 words with
     the shift carry rippling from word k-1's bit 31 into word k's bit 0.
 
     For m <= 16 the whole B entry fits 16 bits, so the two halves pack
     into one word (lo | hi<<16) and each byte costs ONE dynamic_gather
     instead of two — gathers dominate this kernel's step."""
+    nibE_ref = scratch[0] if emit == "bsums" else out_ref
     hi_bit = (m - 1) % 32
     packed16 = K == 1 and m <= 16
     if packed16:
@@ -134,10 +173,13 @@ def _kernel(n_ref, bt_ref, x3_ref, nibE_ref, *, G, m, K):
     jax.lax.fori_loop(
         0, G, group, tuple(jnp.zeros((8, 128), jnp.int32) for _ in range(K))
     )
+    if emit == "bsums":
+        _end_to_start_bsums(n_ref, nibE_ref, out_ref, m=m, W8=W8, C=C, Nk=Nk)
 
 
 @functools.lru_cache(maxsize=256)
-def _build_call(Nk: int, C: int, m: int, interpret: bool):
+def _build_call(Nk: int, C: int, m: int, interpret: bool,
+                emit: str = "nib"):
     W8 = C // 32  # words per sub-chunk
     HS = max(1, -(-(m - 1) // 4))
     G = -(-(W8 + HS) // 8)
@@ -145,22 +187,35 @@ def _build_call(Nk: int, C: int, m: int, interpret: bool):
     K = max(1, -(-m // 32))
     L = Nk // C
     nt = L // 128
+    if emit == "bsums":
+        assert C % 4096 == 0, "bsums mode needs whole 512B blocks/sub-chunk"
+        nbs = W8 // 128
+        out_specs = pl.BlockSpec((8, nbs, 128), lambda i, n: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((8, nbs, L), jnp.int32)
+        scratch = [pltpu.VMEM((8, G8, 128), jnp.int32)]
+    else:
+        out_specs = pl.BlockSpec((8, G8, 128), lambda i, n: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((8, G8, L), jnp.int32)
+        scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # n (interface symmetry with swar kernels)
+        num_scalar_prefetch=1,  # n (validity input for bsums mode)
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # B tables (K,2,8,128)
             pl.BlockSpec((8, G8, 128), lambda i, n: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, G8, 128), lambda i, n: (0, 0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    kern = functools.partial(_kernel, G=G, m=m, K=K)
+    kern = functools.partial(_kernel, G=G, m=m, K=K, emit=emit, W8=W8, C=C,
+                             Nk=Nk)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, G8, L), jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
     )
 
@@ -240,3 +295,39 @@ def kmp_nib(text_u8, n, bt, m, *,
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
     return end_nibble3_to_start_nib(nibE, C // 8, m), cut
+
+
+def kmp_bsums(text_u8, n, bt, m, *,
+              chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+              interpret: bool = False, words=None):
+    """(block sums int32[Nk/512], cut) — the bsums-only Shift-AND scan, or
+    (None, 0) below the kernel threshold.
+
+    The kernel folds end-position nibbles to validity-clamped START counts
+    per 512-byte block entirely in VMEM (``_end_to_start_bsums``), writing
+    only Nk/512 int32 to HBM — kernel traffic drops from read N + write N
+    to read N + write N/128.  Offsets are reconstructed sparsely by
+    ops/emit.bsums_to_matches (window-compare ground truth == the
+    automaton's match set)."""
+    N = text_u8.shape[0]
+    C = chunk_bytes
+    tile_bytes = 128 * C
+    Nk = (N // tile_bytes) * tile_bytes
+    if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES) or C % 4096 != 0:
+        return None, 0
+    W = C // 4
+    HS = max(1, -(-(m - 1) // 4))
+    G8 = -(-(W // 8 + HS) // 8) * 8
+    L = Nk // C
+    if words is None:
+        words = _swar._as_words(text_u8[:Nk])
+    else:
+        words = words[: Nk // 4]
+    x3e = _layout(words, L, W, HS, G8)
+    call = _build_call(Nk, C, m, interpret, emit="bsums")
+    bs = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)  # (8, nbs, L)
+    # Global 512B-block order: block [s, jb, l] covers byte
+    # l*C + s*(C/8) + jb*512  ->  lane-major, then sub-chunk, then jb.
+    bs_flat = bs.transpose(2, 0, 1).reshape(-1)
+    cut = Nk - (m - 1) if m > 1 else Nk
+    return bs_flat, cut

@@ -239,17 +239,32 @@ class KMPMatcher(Matcher):
             and _pallas_backend_ok(config)
         ):
             return None
-        nib, cut = shift_and.kmp_nib(
-            text, n, tables_["sa_bt"], m,
-            chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret, words=words,
-        )
-        if nib is None:
-            return None
+        if config.emission == "sparse":
+            # Bsums-only scan: the end->start fold and validity live in
+            # VMEM; offsets come back via the window-compare sparse
+            # reconstruction (== the automaton's match set exactly).
+            bsums, cut = shift_and.kmp_bsums(
+                text, n, tables_["sa_bt"], m,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret, words=words,
+            )
+            if bsums is None:
+                return None
+            nib = None
+        else:
+            bsums = None
+            nib, cut = shift_and.kmp_nib(
+                text, n, tables_["sa_bt"], m,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret, words=words,
+            )
+            if nib is None:
+                return None
         tail = kmp_ops.kmp_start_mask(
             text[cut:], tables_["dfa"], config.kmp_chunk
         )
-        return cls._merge_nib_tail(nib, cut, n, m, tail, config)
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config,
+                                   bsums=bsums, text=text, pattern=pattern)
 
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):

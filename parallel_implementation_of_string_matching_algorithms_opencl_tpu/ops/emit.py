@@ -278,8 +278,15 @@ def bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
         gpos = base[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
         sm = sm & (gpos <= limit)
         # Rows ascend (gids ascending) and columns ascend within a row, so
-        # flat rank order IS global offset order.
-        off_flat = _rank_select_bool(sm.reshape(-1), count, capacity)
+        # flat rank order IS global offset order.  The rank-select is
+        # count-tiered (_adaptive): its per-rank row gather costs ~0.2 us
+        # PER RANK on v5e, so selecting at the full configured capacity
+        # (65536 default) burned ~13 ms even for a 976-match run —
+        # measured; this one call was the entire sparse-vs-nib regression.
+        off_flat = _adaptive(
+            lambda cap: _rank_select_bool(sm.reshape(-1), count, cap),
+            count, capacity,
+        )
         row = jnp.clip(off_flat // L, 0, cap_b - 1)
         pos = gids[row] * L + off_flat % L
         return jnp.where(off_flat >= 0, pos, FILL)

@@ -313,3 +313,22 @@ def test_bm_table_vs_static_probes_parity():
         r_sta = BoyerMooreMatcher(patb, CFG.replace(bm_probes="static")).match(text)
         assert r_tab.count == r_sta.count == len(expected)
         assert r_tab.offsets_list() == r_sta.offsets_list() == expected
+
+
+def test_sparse_emission_dense_tier_crossing():
+    # Dense-match corpora drive the count-tiered rank-select through its
+    # full-capacity branch (count >> _SMALL_CAP) and the block gather
+    # through its big branch (nblk > _SMALL_BLOCKS); counts must stay
+    # exact and the first `capacity` offsets ascending/correct either way.
+    text = b"ab" * 600_000  # 1.2 MB, 599_999 overlapping 'abab' starts
+    pat = b"abab"
+    expected = find_all(text, pat)
+    for cap in (8192, 1 << 20):
+        cfg = CFG.replace(emission="sparse", capacity=cap)
+        for cls in (NaiveMatcher, BoyerMooreMatcher):
+            r = cls(pat, cfg).match(text)
+            assert r.count == len(expected), (cls.name, cap, r.count)
+            got = r.offsets_list()
+            k = min(cap, len(expected))
+            assert len(got) == k and got == expected[:k], (cls.name, cap)
+            assert bool(r.overflow) == (len(expected) > cap)

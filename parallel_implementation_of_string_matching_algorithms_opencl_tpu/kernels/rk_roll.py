@@ -57,9 +57,18 @@ def _delta(m: int) -> int:
     return -(-(qo + 1) // 8) * 8
 
 
-def _kernel(n_ref, tgt_ref, x3_ref, nibE_ref, *, G, m, B, Bm, k, DELTA):
-    """x3_ref: (8, DELTA+G*8, 128) front-padded words; nibE_ref: (8, G*8,
-    128), bit b of word g = hash hit ENDING at scan byte 4*g+b."""
+def _kernel(n_ref, tgt_ref, x3_ref, out_ref, *scratch, G, m, B, Bm, k,
+            DELTA, emit="nib", W8=0, C=0, Nk=0):
+    """x3_ref: (8, DELTA+G*8, 128) front-padded words.
+    emit='nib': out_ref = nibE (8, G*8, 128), bit b of word g = hash hit
+    ENDING at scan byte 4*g+b.  emit='bsums': out_ref = (8, W8/128, 128)
+    per-512-byte-block CANDIDATE-start counts (validity applied; the
+    end->start fold + clamp are shift_and._end_to_start_bsums); candidates
+    are exactly verified downstream by the window-compare sparse
+    reconstruction (ops/emit.bsums_to_matches_screened)."""
+    from .shift_and import _end_to_start_bsums
+
+    nibE_ref = scratch[0] if emit == "bsums" else out_ref
     qo, ro = divmod(m, 4)
 
     def group(g, H):
@@ -90,11 +99,15 @@ def _kernel(n_ref, tgt_ref, x3_ref, nibE_ref, *, G, m, B, Bm, k, DELTA):
         return H
 
     jax.lax.fori_loop(0, G, group, jnp.zeros((8, 128), jnp.int32))
+    if emit == "bsums":
+        from .shift_and import _end_to_start_bsums
+
+        _end_to_start_bsums(n_ref, nibE_ref, out_ref, m=m, W8=W8, C=C, Nk=Nk)
 
 
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
-                interpret: bool):
+                interpret: bool, emit: str = "nib"):
     W8 = C // 32
     HS = max(1, -(-(m - 1) // 4))
     G = -(-(W8 + HS) // 8)
@@ -102,6 +115,18 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
     DELTA = _delta(m)
     L = Nk // C
     nt = L // 128
+    if emit == "bsums":
+        assert C % 4096 == 0
+        nbs = W8 // 128
+        out_specs = pl.BlockSpec((8, nbs, 128), lambda i, n, t: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((8, nbs, L), jnp.int32)
+        scratch = [pltpu.VMEM((8, G8, 128), jnp.int32)]
+    else:
+        out_specs = pl.BlockSpec((8, G8, 128), lambda i, n, t: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((8, G8, L), jnp.int32)
+        scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # n, targets
         grid=(nt,),
@@ -109,14 +134,15 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
             pl.BlockSpec((8, DELTA + G8, 128), lambda i, n, t: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, G8, 128), lambda i, n, t: (0, 0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    kern = functools.partial(_kernel, G=G, m=m, B=B, Bm=Bm, k=k, DELTA=DELTA)
+    kern = functools.partial(_kernel, G=G, m=m, B=B, Bm=Bm, k=k, DELTA=DELTA,
+                             emit=emit, W8=W8, C=C, Nk=Nk)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, G8, L), jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
     )
 
@@ -156,3 +182,41 @@ def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
     return end_nibble3_to_start_nib(nibE, C // 8, m), cut
+
+
+def rk_candidate_bsums(text_u8, n, targets, m, base: int, *,
+                       chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                       interpret: bool = False, words=None):
+    """(candidate block sums int32[Nk/512], cut) — the bsums-only rolling
+    screen, or (None, 0) below the kernel threshold.  Counts are HASH-HIT
+    counts per 512-byte block (validity-clamped); the consumer must verify
+    (ops/emit.bsums_to_matches_screened window-compares candidate blocks,
+    which both verifies and recounts exactly)."""
+    N = text_u8.shape[0]
+    C = chunk_bytes
+    tile_bytes = 128 * C
+    Nk = (N // tile_bytes) * tile_bytes
+    if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES) or C % 4096 != 0:
+        return None, 0
+    W = C // 4
+    HS = max(1, -(-(m - 1) // 4))
+    G8 = -(-(W // 8 + HS) // 8) * 8
+    L = Nk // C
+    if words is None:
+        words = _swar._as_words(text_u8[:Nk])
+    else:
+        words = words[: Nk // 4]
+    x3e = _layout(words, L, W, HS, G8, front=_delta(m))
+    B = int(base) & 0xFFFFFFFF
+    Bm = pow(B, m, 1 << 32)
+    B_i32 = B - (1 << 32) if B >= (1 << 31) else B
+    Bm_i32 = Bm - (1 << 32) if Bm >= (1 << 31) else Bm
+    tgt = jax.lax.bitcast_convert_type(
+        jnp.asarray(targets, jnp.uint32).reshape(-1), jnp.int32
+    )
+    call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret,
+                       emit="bsums")
+    bs = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
+    bs_flat = bs.transpose(2, 0, 1).reshape(-1)
+    cut = Nk - (m - 1) if m > 1 else Nk
+    return bs_flat, cut

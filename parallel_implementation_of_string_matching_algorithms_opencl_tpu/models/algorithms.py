@@ -172,23 +172,42 @@ class RabinKarpMatcher(Matcher):
         from ..ops import tables as _t
 
         base = config.rk_base if config.rk_base is not None else int(_t.RK_BASE)
-        nib, cut = rk_roll.rk_candidate_nib(
-            text, n,
-            tables_["pattern_hash"].reshape(1), m, base,
-            chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret, words=words,
-        )
-        if nib is None:
-            return None
-        limit_k = jnp.minimum(n - m, cut - 1)
-        small = min(4096, config.verify_capacity)
-        # One prepass serves both the candidate count and the common-case
-        # (<= small) candidate positions.
-        n_cand, small_pos, _ = _emit.nibble_to_matches(nib, limit_k, small)
-        c1, o1, v1 = cls._verify_region(
-            text, nib, limit_k, n_cand, small_pos, pattern,
-            tables_["powers"], tables_["pattern_hash"], config,
-        )
+        if config.emission == "sparse":
+            # Bsums-only screen: candidate counts per 512B block; the
+            # window-compare sparse reconstruction verifies AND recounts
+            # (hash hits are not matches, so sum(bs) is untrusted).
+            bsums, cut = rk_roll.rk_candidate_bsums(
+                text, n,
+                tables_["pattern_hash"].reshape(1), m, base,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret, words=words,
+            )
+            if bsums is None:
+                return None
+            limit_k = jnp.minimum(n - m, cut - 1)
+            c1, o1, v1 = _emit.bsums_to_matches_screened(
+                bsums, text, pattern, limit_k, config.capacity
+            )
+        else:
+            nib, cut = rk_roll.rk_candidate_nib(
+                text, n,
+                tables_["pattern_hash"].reshape(1), m, base,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret, words=words,
+            )
+            if nib is None:
+                return None
+            limit_k = jnp.minimum(n - m, cut - 1)
+            small = min(4096, config.verify_capacity)
+            # One prepass serves both the candidate count and the
+            # common-case (<= small) candidate positions.
+            n_cand, small_pos, _ = _emit.nibble_to_matches(
+                nib, limit_k, small
+            )
+            c1, o1, v1 = cls._verify_region(
+                text, nib, limit_k, n_cand, small_pos, pattern,
+                tables_["powers"], tables_["pattern_hash"], config,
+            )
         tail = rk_ops.rk_start_mask(
             text[cut:], pattern, tables_["powers"], tables_["pattern_hash"],
             config.verify_capacity,

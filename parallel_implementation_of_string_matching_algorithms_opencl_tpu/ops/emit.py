@@ -306,6 +306,122 @@ def bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
     return count, offsets, count > capacity
 
 
+def _dense_block_count(text: jnp.ndarray, pattern: jnp.ndarray, nb: int,
+                       limit) -> jnp.ndarray:
+    """Exact match count by window-comparing EVERY 512-byte block in
+    4096-block slabs (fori_loop) — the screened sparse path's fallback
+    when candidate blocks outnumber the gather capacity.  O(N*m) compute
+    but O(slab) memory; compiled into a cond branch that executes only on
+    adversarial (hash-collision-dense) inputs."""
+    import jax
+
+    L = BLOCK_BYTES
+    m = pattern.shape[0]
+    SLAB = 4096
+    nsl = -(-nb // SLAB)
+    row_len = L + m - 1
+    # Pad so every slab slice (including the one-block-shifted halo view)
+    # is in range: dynamic_slice clamps out-of-range starts BACKWARDS,
+    # which would re-scan earlier bytes and double-count.
+    need = nsl * SLAB * L + L
+    tp = jnp.pad(text, (0, max(0, need - text.shape[0])))
+    pos_row = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def body(i, acc):
+        start = i * (SLAB * L)
+        win = jax.lax.dynamic_slice(
+            tp, (start,), (SLAB * L,)
+        ).reshape(SLAB, L)
+        halo = jax.lax.dynamic_slice(
+            tp, (start + L,), (SLAB * L,)
+        ).reshape(SLAB, L)  # row r = the block after win's row r
+        rows2 = jnp.concatenate([win, halo], axis=1)[:, :row_len]
+        sm = window_start_mask(rows2, pattern)
+        gpos = start + jnp.arange(SLAB, dtype=jnp.int32)[:, None] * L + pos_row
+        sm = sm & (gpos <= limit)
+        return acc + jnp.sum(sm, dtype=jnp.int32)
+
+    return jax.lax.fori_loop(0, nsl, body, jnp.int32(0))
+
+
+def bsums_to_matches_screened(bs: jnp.ndarray, text: jnp.ndarray,
+                              pattern: jnp.ndarray, limit, capacity: int):
+    """(count, offsets[capacity], overflow) from per-block CANDIDATE
+    counts (hash-screen hits, validity-clamped) — the Rabin-Karp sparse
+    consumer.  Candidate blocks are gathered in ascending order and
+    window-compared, which verifies AND recounts in one pass; sum(bs)
+    cannot be trusted as a match count (hash false positives).
+
+    Exactness: candidate blocks are a superset of match blocks, so when
+    they all fit the gather (the non-adversarial case, since candidates ~
+    matches at a 2**-32/word false-positive rate) the recount is the exact
+    global count and offsets are the true first `capacity` matches.  When
+    they do NOT all fit, the count falls back to a dense slab recount
+    (_dense_block_count, exact) and offsets still come from the earliest
+    candidate blocks — ascending true matches, complete through the last
+    gathered block.
+    """
+    import jax
+
+    nb = bs.shape[0]
+    L = BLOCK_BYTES
+    m = pattern.shape[0]
+    assert m - 1 <= L, "sparse reconstruction needs m-1 <= BLOCK_BYTES"
+    row_len = L + m - 1
+    blk = bs > 0
+    nblk = jnp.sum(blk, dtype=jnp.int32)
+    rows = text[: nb * L].reshape(nb, L)
+
+    def gather_sm(cap_b: int):
+        gids = masked_positions(blk, cap_b, fill=nb)
+        gc = jnp.clip(gids, 0, nb - 1)
+        win = jnp.concatenate(
+            [
+                jnp.take(rows, gc, axis=0),
+                jnp.take(rows, jnp.clip(gc + 1, 0, nb - 1), axis=0),
+            ],
+            axis=1,
+        )[:, :row_len]
+        sm = window_start_mask(win, pattern)
+        gpos = (gids * L)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+        sm = sm & (gpos <= limit) & (gids < nb)[:, None]
+        return gids, sm
+
+    cap_full = min(max(capacity, _SMALL_BLOCKS), nb)
+
+    def extract(cap_b: int):
+        gids, sm = gather_sm(cap_b)
+        c_sm = jnp.sum(sm, dtype=jnp.int32)
+        off_flat = _adaptive(
+            lambda cap: _rank_select_bool(sm.reshape(-1), c_sm, cap),
+            c_sm, capacity,
+        )
+        row = jnp.clip(off_flat // L, 0, cap_b - 1)
+        pos = gids[row] * L + off_flat % L
+        offsets = jnp.where(off_flat >= 0, pos, FILL)
+        if cap_b >= nb:
+            count = c_sm  # every block gathered: recount is global
+        else:
+            count = jax.lax.cond(
+                nblk <= cap_b,
+                lambda _: c_sm,
+                lambda _: _dense_block_count(text, pattern, nb, limit),
+                operand=None,
+            )
+        return count, offsets
+
+    if cap_full <= _SMALL_BLOCKS:
+        count, offsets = extract(cap_full)
+    else:
+        count, offsets = jax.lax.cond(
+            nblk <= _SMALL_BLOCKS,
+            lambda _: extract(_SMALL_BLOCKS),
+            lambda _: extract(cap_full),
+            operand=None,
+        )
+    return count, offsets, count > capacity
+
+
 def nibble_positions(nib: jnp.ndarray, limit, capacity: int, fill: int):
     """First ``capacity`` set-bit byte positions (ascending, ``fill``-padded)
     — candidate extraction for screen+verify pipelines."""

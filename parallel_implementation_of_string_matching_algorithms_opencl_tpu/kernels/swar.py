@@ -153,10 +153,17 @@ def probe_table(pattern: np.ndarray) -> np.ndarray:
         if len(scores) == 1:
             out[a] = (best, best)
         else:
-            # partner: maximize score with separation tiebreak
-            s2, k2 = max(
-                ((s + abs(k - best), k) for s, k in scores if k != best)
-            )
+            # Partner: SEPARATION-primary, score as tiebreak.  Adjacent
+            # probe pairs read as one wider slice but screen barely better
+            # than a single probe (neighboring text bytes are correlated);
+            # measured on v5e at 256 MiB english/m=16, the (0,1)-style
+            # adjacent pick cost 4.61 ms vs 3.75 ms for maximally-
+            # separated probes.  Separation also mirrors BM's own
+            # heuristic structure: bad-char consults the window END, good-
+            # suffix the matched tail — two distant anchor points.
+            k2 = max(
+                ((abs(k - best), s), k) for s, k in scores if k != best
+            )[1]
             out[a] = (min(best, k2), max(best, k2))
     return out
 

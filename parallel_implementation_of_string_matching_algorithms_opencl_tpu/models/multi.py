@@ -104,26 +104,49 @@ class RabinKarpMultiMatcher:
         base = (
             config.rk_base if config.rk_base is not None else int(tables.RK_BASE)
         )
-        nib, cut = rk_roll.rk_candidate_nib(
-            text, n, tables_["hashes"], m, base,
-            chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret, words=words,
-        )
-        if nib is None:
-            return None
+        sparse = config.emission == "sparse"
+        if sparse:
+            # ONE bsums-only screen pass; per-pattern window-compare
+            # reconstruction both verifies and extracts (a candidate
+            # belonging to another pattern fails this pattern's compare).
+            # The candidate-block gather is identical across patterns, so
+            # XLA CSE shares it; only the compares replicate.
+            bs, cut = rk_roll.rk_candidate_bsums(
+                text, n, tables_["hashes"], m, base,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret, words=words,
+            )
+            if bs is None:
+                return None
+        else:
+            nib, cut = rk_roll.rk_candidate_nib(
+                text, n, tables_["hashes"], m, base,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret, words=words,
+            )
+            if nib is None:
+                return None
         limit_k = jnp.minimum(n - m, cut - 1)
-        small = min(4096, config.verify_capacity)
-        n_cand, small_pos, _ = _emit.nibble_to_matches(nib, limit_k, small)
+        if not sparse:
+            small = min(4096, config.verify_capacity)
+            n_cand, small_pos, _ = _emit.nibble_to_matches(
+                nib, limit_k, small
+            )
         tail_masks = rk_ops.rk_multi_start_masks(
             text[cut:], patterns, tables_["powers"], tables_["hashes"],
             config.verify_capacity,
         )
         counts, offsets, overflows = [], [], []
         for p in range(k):
-            c1, o1, v1 = RabinKarpMatcher._verify_region(
-                text, nib, limit_k, n_cand, small_pos, patterns[p],
-                tables_["powers"], tables_["hashes"][p], config,
-            )
+            if sparse:
+                c1, o1, v1 = _emit.bsums_to_matches_screened(
+                    bs, text, patterns[p], limit_k, config.capacity
+                )
+            else:
+                c1, o1, v1 = RabinKarpMatcher._verify_region(
+                    text, nib, limit_k, n_cand, small_pos, patterns[p],
+                    tables_["powers"], tables_["hashes"][p], config,
+                )
             tail_valid = _emit.valid_start_mask(tail_masks[p], n - cut, m)
             c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)
             c, o, v = _emit.merge_region_matches(

@@ -332,3 +332,57 @@ def test_sparse_emission_dense_tier_crossing():
             k = min(cap, len(expected))
             assert len(got) == k and got == expected[:k], (cls.name, cap)
             assert bool(r.overflow) == (len(expected) > cap)
+
+
+@pytest.mark.parametrize("m", [5, 33, 256])
+def test_kmp_bsums_kernel_parity(m):
+    # Bsums-only Shift-AND: in-kernel end->start fold + validity + block
+    # sums must equal the nib path and the oracle, incl. sub-chunk-seam
+    # plants (Cp = C/8) and the n-m clamp.
+    C = CFG.pallas_chunk_bytes
+    data = bytearray(gen_english(128 * C + 257, seed=60 + m))
+    pat = bytes(gen_english(m, seed=90 + m))
+    Cp = C // 8
+    for pos in (Cp * 3 - 1, C * 10 - m // 2, 128 * C - m):
+        data[pos : pos + m] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert expected
+    cfg_s = CFG.replace(emission="sparse")
+    cfg_n = CFG.replace(emission="nib")
+    rs = KMPMatcher(pat, cfg_s).match(text)
+    rn = KMPMatcher(pat, cfg_n).match(text)
+    assert rs.count == rn.count == len(expected)
+    assert rs.offsets_list() == rn.offsets_list() == expected
+
+
+@pytest.mark.parametrize("m", [4, 64, 509])
+def test_rk_bsums_screen_parity(m):
+    # Candidate-bsums screen + window-compare reconstruction (verify +
+    # recount in one) vs the nib+tiered-verify path vs the oracle.
+    C = CFG.pallas_chunk_bytes
+    data = bytearray(gen_english(128 * C + 63, seed=70 + m))
+    pat = bytes(gen_english(m, seed=170 + m))
+    for pos in (C - m // 2, C * 64 + 13, 128 * C - m):
+        data[pos : pos + m] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert expected
+    rs = RabinKarpMatcher(pat, CFG.replace(emission="sparse")).match(text)
+    rn = RabinKarpMatcher(pat, CFG.replace(emission="nib")).match(text)
+    assert rs.count == rn.count == len(expected)
+    assert rs.offsets_list() == rn.offsets_list() == expected
+
+
+def test_rk_multi_sparse_parity():
+    text = bytearray(gen_english(2 * 128 * CFG.pallas_chunk_bytes, seed=81))
+    pats = [bytes(text[977 * i + 100 : 977 * i + 116]) for i in range(4)]
+    pats[2] = b"\x00zzNEVERzzz\xffQQ!!"  # zero matches (16 B)
+    text = bytes(text)
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.multi import (
+        RabinKarpMultiMatcher,
+    )
+    mm = RabinKarpMultiMatcher(pats, CFG.replace(emission="sparse"))
+    for p, r in zip(pats, mm.match(text)):
+        exp = find_all(text, p)
+        assert r.count == len(exp) and r.offsets_list() == exp, p

@@ -136,12 +136,14 @@ class RabinKarpMultiMatcher:
             text[cut:], patterns, tables_["powers"], tables_["hashes"],
             config.verify_capacity,
         )
+        if sparse:
+            cs1, os1, vs1 = _emit.multi_bsums_to_matches(
+                bs, text, patterns, limit_k, config.capacity
+            )
         counts, offsets, overflows = [], [], []
         for p in range(k):
             if sparse:
-                c1, o1, v1 = _emit.bsums_to_matches_screened(
-                    bs, text, patterns[p], limit_k, config.capacity
-                )
+                c1, o1, v1 = cs1[p], os1[p], vs1[p]
             else:
                 c1, o1, v1 = RabinKarpMatcher._verify_region(
                     text, nib, limit_k, n_cand, small_pos, patterns[p],

@@ -111,7 +111,7 @@ def _end_to_start_bsums(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
 
 
 def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
-            emit="nib", W8=0, C=0, Nk=0):
+            emit="nib", W8=0, C=0, Nk=0, pat_bytes=None):
     """x3_ref: (8, G*8, 128) words — sub-chunk s of chunk l at [s, :, l],
     zero-padded past the (W8 + HS) real words.
     emit='nib': out_ref = nibE (8, G*8, 128) int32 — bit b of [s, g, l] =
@@ -127,11 +127,28 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
     instead of two — gathers dominate this kernel's step."""
     nibE_ref = scratch[0] if emit == "bsums" else out_ref
     hi_bit = (m - 1) % 32
-    packed16 = K == 1 and m <= 16
+    compare_b = pat_bytes is not None and K == 1
+    packed16 = K == 1 and m <= 16 and not compare_b
     if packed16:
         ptab = bt_ref[0, 0] | (bt_ref[0, 1] << 16)
-    else:
+    elif not compare_b:
         halves = [(bt_ref[k, 0], bt_ref[k, 1]) for k in range(K)]
+    if compare_b:
+        # B[c] from static compares instead of a dynamic_gather: one VPU
+        # compare per DISTINCT pattern byte (<= m <= 32), each OR-ing in
+        # that value's precomputed bit mask.  Gathers dominate this
+        # kernel's step, so trading one gather for ~m cheap vector ops
+        # wins for short patterns (specializes the executable per
+        # pattern, like the BM probe constants; persisted cache).
+        val_masks = {}
+        for j, cb in enumerate(pat_bytes):
+            val_masks[cb] = val_masks.get(cb, 0) | (1 << j)
+        # two's-complement wrap: bit 31 (m=32) overflows int32 as a
+        # Python int
+        val_masks = {
+            cb: (v - (1 << 32) if v >= (1 << 31) else v)
+            for cb, v in val_masks.items()
+        }
 
     def lookup(k, ci, is_lo):
         if packed16:
@@ -145,6 +162,12 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
             jnp.take_along_axis(halves[k][1], ci, axis=1),
         )
 
+    def lookup_compare(c):
+        acc = jnp.zeros(c.shape, jnp.int32)
+        for cb, mval in val_masks.items():
+            acc |= jnp.where(c == cb, jnp.int32(mval), jnp.int32(0))
+        return acc
+
     def group(g, D):
         base = pl.multiple_of(g * 8, 8)
         blk = x3_ref[:, pl.ds(base, 8), :]  # (8, 8, 128)
@@ -154,16 +177,19 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
             nib = jnp.zeros((8, 128), jnp.int32)
             for b in range(4):
                 c = (wv >> (8 * b)) & 0xFF
-                ci = c & 127
-                is_lo = c < 128
                 carries = [jnp.int32(1)] + [
                     jax.lax.shift_right_logical(D[k - 1], 31) & 1
                     for k in range(1, K)
                 ]
-                D = tuple(
-                    ((D[k] << 1) | carries[k]) & lookup(k, ci, is_lo)
-                    for k in range(K)
-                )
+                if compare_b:
+                    D = (((D[0] << 1) | 1) & lookup_compare(c),)
+                else:
+                    ci = c & 127
+                    is_lo = c < 128
+                    D = tuple(
+                        ((D[k] << 1) | carries[k]) & lookup(k, ci, is_lo)
+                        for k in range(K)
+                    )
                 hit = jax.lax.shift_right_logical(D[K - 1], hi_bit) & 1
                 nib |= hit << b
             nibs.append(nib)
@@ -179,7 +205,7 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
 
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, interpret: bool,
-                emit: str = "nib"):
+                emit: str = "nib", pat_key: bytes | None = None):
     W8 = C // 32  # words per sub-chunk
     HS = max(1, -(-(m - 1) // 4))
     G = -(-(W8 + HS) // 8)
@@ -211,7 +237,8 @@ def _build_call(Nk: int, C: int, m: int, interpret: bool,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_kernel, G=G, m=m, K=K, emit=emit, W8=W8, C=C,
-                             Nk=Nk)
+                             Nk=Nk,
+                             pat_bytes=(tuple(pat_key) if pat_key else None))
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -271,7 +298,7 @@ def end_nibble3_to_start_nib(nibE: jnp.ndarray, Cp: int, m: int):
 
 def kmp_nib(text_u8, n, bt, m, *,
             chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-            interpret: bool = False, words=None):
+            interpret: bool = False, words=None, pat_key: bytes = None):
     """(start-nibble int32[Nk/4], cut) via the Shift-AND prefix automaton,
     or (None, 0) below the kernel threshold.  ``bt`` is the (K,2,8,128)
     table from ``b_table``; ``words`` the host int32 view of the text.
@@ -291,7 +318,7 @@ def kmp_nib(text_u8, n, bt, m, *,
     else:
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)
-    call = _build_call(Nk, C, m, interpret)
+    call = _build_call(Nk, C, m, interpret, pat_key=pat_key)
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
     return end_nibble3_to_start_nib(nibE, C // 8, m), cut
@@ -299,7 +326,7 @@ def kmp_nib(text_u8, n, bt, m, *,
 
 def kmp_bsums(text_u8, n, bt, m, *,
               chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-              interpret: bool = False, words=None):
+              interpret: bool = False, words=None, pat_key: bytes = None):
     """(block sums int32[Nk/512], cut) — the bsums-only Shift-AND scan, or
     (None, 0) below the kernel threshold.
 
@@ -324,7 +351,8 @@ def kmp_bsums(text_u8, n, bt, m, *,
     else:
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)
-    call = _build_call(Nk, C, m, interpret, emit="bsums")
+    call = _build_call(Nk, C, m, interpret, emit="bsums",
+                       pat_key=pat_key)
     bs = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)  # (8, nbs, L)
     # Global 512B-block order: block [s, jb, l] covers byte
     # l*C + s*(C/8) + jb*512  ->  lane-major, then sub-chunk, then jb.

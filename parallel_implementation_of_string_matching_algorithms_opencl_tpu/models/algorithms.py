@@ -303,22 +303,29 @@ class BoyerMooreMatcher(Matcher):
     @classmethod
     def _specialize_config(cls, config: MatchConfig,
                            pat: np.ndarray) -> MatchConfig:
-        if config.bm_probes == "table" and config.bm_probe_layout is None:
+        if config.bm_probes == "table":
+            # ALWAYS recompute: a config recycled from a different-pattern
+            # matcher would otherwise carry that pattern's layout (out-of-
+            # range word indices for a shorter pattern -> trace-time
+            # IndexError; silently wrong probes for an equal-length one).
             layout = swar.static_probes_from_table(swar.probe_table(pat))
-            return config.replace(bm_probe_layout=layout)
+            if layout != config.bm_probe_layout:
+                return config.replace(bm_probe_layout=layout)
         return config
 
     def _precompute(self, pat: np.ndarray) -> dict:
-        return {
+        t = {
             "bad_char": tables.bm_bad_char(pat),
             "good_suffix": tables.bm_good_suffix(pat),
-            # Bad-char-scored probe indices for the runtime-scalar screen
-            # variant (bm_probes='table_dyn': same-length patterns share
-            # one executable at ~2x screen cost; the default 'table' mode
-            # bakes the same scores in statically via _specialize_config).
-            "swar_pr": swar.probe_table(pat),
             **_swar_tables(pat),
         }
+        if self.config.bm_probes == "table_dyn":
+            # Bad-char-scored probe indices as RUNTIME scalars (same-
+            # length patterns share one executable at ~2x screen cost;
+            # the default 'table' mode bakes them in statically via
+            # _specialize_config and never reads this table).
+            t["swar_pr"] = swar.probe_table(pat)
+        return t
 
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):

@@ -401,6 +401,7 @@ def bsums_to_matches_screened(bs: jnp.ndarray, text: jnp.ndarray,
         offsets = jnp.where(off_flat >= 0, pos, FILL)
         if cap_b >= nb:
             count = c_sm  # every block gathered: recount is global
+            trunc = jnp.bool_(False)
         else:
             count = jax.lax.cond(
                 nblk <= cap_b,
@@ -408,18 +409,23 @@ def bsums_to_matches_screened(bs: jnp.ndarray, text: jnp.ndarray,
                 lambda _: _dense_block_count(text, pattern, nb, limit),
                 operand=None,
             )
-        return count, offsets
+            # Candidate blocks beyond the gather can hold matches the
+            # offsets missed even when count <= capacity (pure-false-
+            # positive blocks displace match blocks) — surface that as
+            # overflow so drain/windowed re-extraction recovers them.
+            trunc = nblk > cap_b
+        return count, offsets, trunc
 
     if cap_full <= _SMALL_BLOCKS:
-        count, offsets = extract(cap_full)
+        count, offsets, trunc = extract(cap_full)
     else:
-        count, offsets = jax.lax.cond(
+        count, offsets, trunc = jax.lax.cond(
             nblk <= _SMALL_BLOCKS,
             lambda _: extract(_SMALL_BLOCKS),
             lambda _: extract(cap_full),
             operand=None,
         )
-    return count, offsets, count > capacity
+    return count, offsets, (count > capacity) | trunc
 
 
 def multi_bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
@@ -482,18 +488,22 @@ def multi_bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
                     ),
                     operand=None,
                 ))
-        return jnp.stack(counts), jnp.stack(offs)
+        trunc = (jnp.bool_(False) if cap_b >= nb else nblk > cap_b)
+        return (jnp.stack(counts), jnp.stack(offs),
+                jnp.broadcast_to(trunc, (k,)))
 
     if cap_full <= _SMALL_BLOCKS:
-        counts, offsets = extract(cap_full)
+        counts, offsets, trunc = extract(cap_full)
     else:
-        counts, offsets = jax.lax.cond(
+        counts, offsets, trunc = jax.lax.cond(
             nblk <= _SMALL_BLOCKS,
             lambda _: extract(_SMALL_BLOCKS),
             lambda _: extract(cap_full),
             operand=None,
         )
-    return counts, offsets, counts > capacity
+    # Ungathered candidate blocks can hide matches from the offsets even
+    # at count <= capacity — flag as overflow so drain recovers them.
+    return counts, offsets, (counts > capacity) | trunc
 
 
 def nibble_positions(nib: jnp.ndarray, limit, capacity: int, fill: int):

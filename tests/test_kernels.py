@@ -338,8 +338,12 @@ def test_sparse_emission_dense_tier_crossing():
 def test_kmp_bsums_kernel_parity(m):
     # Bsums-only Shift-AND: in-kernel end->start fold + validity + block
     # sums must equal the nib path and the oracle, incl. sub-chunk-seam
-    # plants (Cp = C/8) and the n-m clamp.
-    C = CFG.pallas_chunk_bytes
+    # plants (Cp = C/8) and the n-m clamp.  The bsums kernel needs whole
+    # 512B blocks per sub-chunk (C % 4096 == 0), so these tests use
+    # C=4096, NOT the suite-wide 512 (which silently falls back to jnp —
+    # kmp_bsums returning None below is exactly that hollow-test trap).
+    C = 4096
+    cfg4 = CFG.replace(pallas_chunk_bytes=C)
     data = bytearray(gen_english(128 * C + 257, seed=60 + m))
     pat = bytes(gen_english(m, seed=90 + m))
     Cp = C // 8
@@ -348,10 +352,18 @@ def test_kmp_bsums_kernel_parity(m):
     text = bytes(data)
     expected = find_all(text, pat)
     assert expected
-    cfg_s = CFG.replace(emission="sparse")
-    cfg_n = CFG.replace(emission="nib")
-    rs = KMPMatcher(pat, cfg_s).match(text)
-    rn = KMPMatcher(pat, cfg_n).match(text)
+    # kernel actually engages at this chunk size
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+        pad_to_multiple,
+    )
+    tn = pad_to_multiple(np.frombuffer(text, np.uint8), 1024)
+    bt = jnp.asarray(shift_and.b_table(np.frombuffer(pat, np.uint8)))
+    bs, cut = shift_and.kmp_bsums(
+        jnp.asarray(tn), len(text), bt, m, chunk_bytes=C, interpret=True
+    )
+    assert bs is not None and cut > 0
+    rs = KMPMatcher(pat, cfg4.replace(emission="sparse")).match(text)
+    rn = KMPMatcher(pat, cfg4.replace(emission="nib")).match(text)
     assert rs.count == rn.count == len(expected)
     assert rs.offsets_list() == rn.offsets_list() == expected
 
@@ -360,7 +372,10 @@ def test_kmp_bsums_kernel_parity(m):
 def test_rk_bsums_screen_parity(m):
     # Candidate-bsums screen + window-compare reconstruction (verify +
     # recount in one) vs the nib+tiered-verify path vs the oracle.
-    C = CFG.pallas_chunk_bytes
+    # C=4096: the bsums kernels need C % 4096 == 0 (the suite-wide C=512
+    # silently falls back to the jnp path — verified engaged below).
+    C = 4096
+    cfg4 = CFG.replace(pallas_chunk_bytes=C)
     data = bytearray(gen_english(128 * C + 63, seed=70 + m))
     pat = bytes(gen_english(m, seed=170 + m))
     for pos in (C - m // 2, C * 64 + 13, 128 * C - m):
@@ -368,21 +383,105 @@ def test_rk_bsums_screen_parity(m):
     text = bytes(data)
     expected = find_all(text, pat)
     assert expected
-    rs = RabinKarpMatcher(pat, CFG.replace(emission="sparse")).match(text)
-    rn = RabinKarpMatcher(pat, CFG.replace(emission="nib")).match(text)
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import (
+        rk_roll,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.ops import (
+        tables,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+        pad_to_multiple,
+    )
+    tn = pad_to_multiple(np.frombuffer(text, np.uint8), 1024)
+    pa = np.frombuffer(pat, np.uint8)
+    c = tables.rk_constants(m, int(tables.RK_BASE))
+    bs, cut = rk_roll.rk_candidate_bsums(
+        jnp.asarray(tn), len(text),
+        jnp.asarray(tables.rk_hash(pa, c)).reshape(1), m,
+        int(tables.RK_BASE), chunk_bytes=C, interpret=True,
+    )
+    assert bs is not None
+    # candidates >= true matches, but only within the kernel region [0,cut)
+    assert int(jnp.sum(bs)) >= len([x for x in expected if x < cut])
+    rs = RabinKarpMatcher(pat, cfg4.replace(emission="sparse")).match(text)
+    rn = RabinKarpMatcher(pat, cfg4.replace(emission="nib")).match(text)
     assert rs.count == rn.count == len(expected)
     assert rs.offsets_list() == rn.offsets_list() == expected
 
 
 def test_rk_multi_sparse_parity():
-    text = bytearray(gen_english(2 * 128 * CFG.pallas_chunk_bytes, seed=81))
+    text = bytearray(gen_english(128 * 4096 + 99, seed=81))
     pats = [bytes(text[977 * i + 100 : 977 * i + 116]) for i in range(4)]
     pats[2] = b"\x00zzNEVERzzz\xffQQ!!"  # zero matches (16 B)
     text = bytes(text)
     from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.multi import (
         RabinKarpMultiMatcher,
     )
-    mm = RabinKarpMultiMatcher(pats, CFG.replace(emission="sparse"))
+    mm = RabinKarpMultiMatcher(
+        pats, CFG.replace(emission="sparse", pallas_chunk_bytes=4096)
+    )
     for p, r in zip(pats, mm.match(text)):
         exp = find_all(text, p)
         assert r.count == len(exp) and r.offsets_list() == exp, p
+
+
+@pytest.mark.parametrize("m", [5, 16, 32])
+def test_kmp_compare_b_table_parity(m):
+    # Opt-in compare-based B-table (pat_key; measured slower than the
+    # gather on v5e but kept as a documented variant) must match the
+    # gather path bit-for-bit.
+    import jax.numpy as jnp
+
+    C = 4096  # bsums kernels need C % 4096 == 0
+    pat = bytes(gen_english(m, seed=m))
+    data = bytearray(gen_english(128 * C + 33, seed=1))
+    data[5000 : 5000 + m] = pat
+    data[C * 64 - 3 : C * 64 - 3 + m] = pat
+    text = bytes(data)
+    n = len(text)
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+        pad_to_multiple,
+    )
+
+    tn = pad_to_multiple(np.frombuffer(text, np.uint8), 1024)
+    bt = jnp.asarray(shift_and.b_table(np.frombuffer(pat, np.uint8)))
+    bs_c, cut = shift_and.kmp_bsums(
+        jnp.asarray(tn), n, bt, m, chunk_bytes=C, interpret=True,
+        pat_key=pat,
+    )
+    bs_g, _ = shift_and.kmp_bsums(
+        jnp.asarray(tn), n, bt, m, chunk_bytes=C, interpret=True
+    )
+    assert bs_c is not None
+    assert (np.asarray(bs_c) == np.asarray(bs_g)).all()
+    assert int(jnp.sum(bs_c)) >= 2
+
+
+def test_multi_sparse_truncation_flagged():
+    # Review finding: a rare pattern's matches can live in candidate
+    # blocks beyond the union gather capacity (displaced by a dense
+    # co-pattern); count stays exact but offsets are incomplete — that
+    # MUST surface as overflow, not silently.
+    C = 4096
+    tile = 128 * C
+    data = bytearray(gen_english(2 * tile + 55, seed=99))
+    p_dense = b"DENSEPT!"
+    for blk in range(0, len(data) - 8, 512):  # one hit in ~every block
+        data[blk : blk + 8] = p_dense
+    p_rare = b"RAREPAT?"
+    data[2 * tile - 900 : 2 * tile - 892] = p_rare  # late block
+    text = bytes(data)
+    exp_rare = find_all(text, p_rare)
+    assert len(exp_rare) == 1
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.multi import (
+        RabinKarpMultiMatcher,
+    )
+
+    cfg = CFG.replace(emission="sparse", pallas_chunk_bytes=C,
+                      capacity=1024)
+    rs = RabinKarpMultiMatcher([p_dense, p_rare], cfg).match(text)
+    r_rare = rs[1]
+    assert r_rare.count == len(exp_rare)  # count exact regardless
+    got = r_rare.offsets_list()
+    # either complete, or flagged for drain — NEVER silently missing
+    assert got == exp_rare or r_rare.overflow

@@ -108,7 +108,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=256, help="corpus size in MiB")
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--passes", type=int, default=2,
+    ap.add_argument("--passes", type=int, default=3,
                     help="timing passes; best pass median wins (shared-box noise)")
     ap.add_argument("--algos", default="naive,rabin_karp,kmp,boyer_moore")
     ap.add_argument("--corpus", default="english")

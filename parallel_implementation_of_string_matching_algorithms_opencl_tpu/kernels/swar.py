@@ -349,6 +349,50 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
 
 
+def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
+                        bs_ref, ext_ref, *, W, C, m, Mnp, probes):
+    """Boyer-Moore CANDIDATE screen: the probe compares alone, emitted as
+    candidate nibbles/block-sums — no in-kernel verify, no per-tile
+    ``pl.when`` branch.  The fused variant's predicated verify stalls the
+    tile pipeline even when ~no tile hits (measured 3.75 ms vs naive's
+    1.75 ms straight-line chain at 256 MiB); this kernel streams pure
+    compares and delegates exact verification to the window-compare
+    sparse reconstruction (ops/emit.bsums_to_matches_screened — the same
+    candidates-are-a-superset contract as the Rabin-Karp hash screen,
+    including the exact recount and the overflow/truncation flag)."""
+    ext_ref[:, :W] = x_ref[:]
+    ext_ref[:, W:] = h_ref[:]
+    ext = ext_ref[:]
+    nib = jnp.zeros((128, W), jnp.int32)
+    for a in range(4):
+        acc = None
+        for k in probes[a]:
+            w = ext[:, k : k + W]
+            eq = (w == P_ref[a, k]) if Mnp[a, k] == -1 else (
+                (w & M_ref[a, k]) == P_ref[a, k]
+            )
+            acc = eq if acc is None else (acc & eq)
+        nib |= acc.astype(jnp.int32) << a
+    nib_ref[:] = nib
+
+    i = pl.program_id(0)
+    tile_last = (i + 1) * (128 * C) - 1
+    nlim = n_ref[0] - m
+
+    @pl.when(tile_last > nlim)
+    def _():
+        nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
+
+    bs = _block_sums(nib_ref[:], W)
+    bs_ref[...] = bs
+
+    @pl.when(i == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
+
+
 def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, h_ref, cnt_ref,
                          nib_ref, bs_ref, ext_ref, *, W, C, m, Mnp):
     """Boyer-Moore execution with TABLE-DRIVEN probes: identical skip
@@ -428,7 +472,7 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
     L = Nk // C
     nt = L // 128
     Mnp = np.frombuffer(Mkey, dtype=np.int32).reshape(4, nw)
-    assert mode in ("naive", "screened", "screened_dyn")
+    assert mode in ("naive", "screened", "screened_dyn", "screen_cand")
     # scalar prefetch: (n, P, M) + the probe-index table in dyn mode
     n_scalars = 4 if mode == "screened_dyn" else 3
     idx = lambda i, *scalars: (i, 0)
@@ -459,6 +503,9 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
     if mode == "screened":
         kern = functools.partial(_screened_kernel, W=W, C=C, m=m, Mnp=Mnp,
                                  probes=probes)
+    elif mode == "screen_cand":
+        kern = functools.partial(_screen_cand_kernel, W=W, C=C, m=m,
+                                 Mnp=Mnp, probes=probes)
     elif mode == "screened_dyn":
         kern = functools.partial(_screened_dyn_kernel, W=W, C=C, m=m, Mnp=Mnp)
     else:
@@ -616,7 +663,7 @@ def static_probes_from_table(pr: np.ndarray) -> tuple:
 
 def screened_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                  interpret: bool = False, words=None, probe_idx=None,
-                 static_probes=None, emit_nib=True):
+                 static_probes=None, emit_nib=True, screen_only=False):
     """Screened (Boyer-Moore) variant of naive_nib.
 
     Probe selection, fastest first:
@@ -626,8 +673,16 @@ def screened_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     - ``probe_idx``: the same table-scored probes as RUNTIME scalars —
       one executable per pattern length, ~2x slower screen (dynamic
       rotates).
-    - neither: positional first/last full-word probes (static)."""
-    mode = "screened_dyn" if probe_idx is not None else "screened"
+    - neither: positional first/last full-word probes (static).
+
+    ``screen_only=True`` (requires ``emit_nib=False``): the returned block
+    sums count probe-screen CANDIDATES, not matches — no in-kernel verify
+    runs; consume via ops/emit.bsums_to_matches_screened."""
+    if screen_only:
+        assert not emit_nib, "screen_only is a bsums-only mode"
+        mode = "screen_cand"
+    else:
+        mode = "screened_dyn" if probe_idx is not None else "screened"
     return _run(text_u8, n, P, m, mode=mode, chunk_bytes=chunk_bytes,
                 interpret=interpret, words=words, probe_idx=probe_idx,
                 static_probes=static_probes, emit_nib=emit_nib)

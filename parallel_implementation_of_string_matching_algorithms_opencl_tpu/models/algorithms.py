@@ -349,28 +349,44 @@ class BoyerMooreMatcher(Matcher):
         if not _pallas_enabled(config, m):
             return None
         # Screened SWAR kernel: the probe screen is the vectorized
-        # bad-character heuristic; sub-blocks with no probe hit skip the
-        # verify loop entirely (tile-granular skip-loop).  The default
-        # bm_probes='table' bakes bad-char-scored probe indices
-        # (tables.bm_bad_char rarity) in as compile-time constants via the
-        # specialized config; 'table_dyn' ships them as runtime scalars.
+        # bad-character heuristic; positions with no probe hit never reach
+        # verification.  The default bm_probes='table' bakes bad-char-
+        # scored probe indices (tables.bm_bad_char rarity) in as compile-
+        # time constants via the specialized config; 'table_dyn' ships
+        # them as runtime scalars.
         # Logical n, not padded N — see NaiveMatcher._direct.
+        sparse = config.emission == "sparse"
+        screen_only = sparse and config.bm_screen == "cand"
         nib, bsums, cut = swar.screened_nib(
             text, n, tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
             probe_idx=(
                 tables_["swar_pr"] if config.bm_probes == "table_dyn"
-                else None
+                and not screen_only else None
             ),
             static_probes=(
                 config.bm_probe_layout if config.bm_probes == "table"
                 else None
             ),
-            emit_nib=config.emission != "sparse",
+            emit_nib=not sparse,
+            screen_only=screen_only,
         )
         if cut == 0:
             return None
         tail = naive_ops.naive_start_mask(text[cut:], pattern)
+        if screen_only:
+            # Candidate sums (the skip heuristic alone ran in-kernel);
+            # the window-compare reconstruction verifies and recounts —
+            # the same superset contract as the Rabin-Karp hash screen.
+            import jax.numpy as jnp
+
+            from ..ops import emit as _emit
+
+            limit_k = jnp.minimum(n - m, cut - 1)
+            c1, o1, v1 = _emit.bsums_to_matches_screened(
+                bsums, text, pattern, limit_k, config.capacity
+            )
+            return cls._merge_tail(c1, o1, v1, cut, n, m, tail, config)
         return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums,
                                    text=text, pattern=pattern)

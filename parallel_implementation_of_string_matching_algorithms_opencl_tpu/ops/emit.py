@@ -191,9 +191,32 @@ def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int, bsums=None):
 
 BLOCK_BYTES = 512  # kernel block-sum granularity (128 int32 words)
 
-# Sparse-extraction gather tier: blocks-with-matches beyond this take the
-# full-capacity gather branch.
+# Sparse-extraction gather tiers: the nonzero-block gather runs at the
+# smallest tier that fits the runtime block count (lax.switch).  Graded
+# tiers matter for screened candidates: a few thousand probe/hash false
+# positives overflowing a single small tier used to jump straight to the
+# full-capacity gather (65536 row-gathers ~ 13 ms for a 2840-candidate
+# run — measured; the graded ladder makes it ~1.6 ms).
 _SMALL_BLOCKS = 1024
+_BLOCK_TIERS = (1024, 8192)
+
+
+def _tiered_block_extract(extract, nblk, cap_full: int):
+    """Run ``extract(cap_b)`` at the smallest adequate gather tier.
+
+    ``extract`` must return identically-shaped pytrees for any cap_b
+    (offset buffers are capacity-sized, not cap_b-sized)."""
+    import jax
+
+    tiers = [t for t in _BLOCK_TIERS if t < cap_full] + [cap_full]
+    if len(tiers) == 1:
+        return extract(tiers[0])
+    bucket = sum(
+        (nblk > jnp.int32(t)).astype(jnp.int32) for t in tiers[:-1]
+    )
+    return jax.lax.switch(
+        bucket, [lambda t=t: extract(t) for t in tiers]
+    )
 
 
 def window_start_mask(windows: jnp.ndarray, pattern: jnp.ndarray):
@@ -294,15 +317,7 @@ def bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
     # Every nonzero block holds >= 1 match, so ``capacity`` blocks always
     # suffice to produce the first ``capacity`` offsets (incl. overflow).
     cap_full = min(capacity, nb)
-    if cap_full <= _SMALL_BLOCKS:
-        offsets = extract(cap_full)
-    else:
-        offsets = jax.lax.cond(
-            nblk <= _SMALL_BLOCKS,
-            lambda _: extract(_SMALL_BLOCKS),
-            lambda _: extract(cap_full),
-            operand=None,
-        )
+    offsets = _tiered_block_extract(extract, nblk, cap_full)
     return count, offsets, count > capacity
 
 
@@ -416,15 +431,7 @@ def bsums_to_matches_screened(bs: jnp.ndarray, text: jnp.ndarray,
             trunc = nblk > cap_b
         return count, offsets, trunc
 
-    if cap_full <= _SMALL_BLOCKS:
-        count, offsets, trunc = extract(cap_full)
-    else:
-        count, offsets, trunc = jax.lax.cond(
-            nblk <= _SMALL_BLOCKS,
-            lambda _: extract(_SMALL_BLOCKS),
-            lambda _: extract(cap_full),
-            operand=None,
-        )
+    count, offsets, trunc = _tiered_block_extract(extract, nblk, cap_full)
     return count, offsets, (count > capacity) | trunc
 
 
@@ -492,15 +499,7 @@ def multi_bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
         return (jnp.stack(counts), jnp.stack(offs),
                 jnp.broadcast_to(trunc, (k,)))
 
-    if cap_full <= _SMALL_BLOCKS:
-        counts, offsets, trunc = extract(cap_full)
-    else:
-        counts, offsets, trunc = jax.lax.cond(
-            nblk <= _SMALL_BLOCKS,
-            lambda _: extract(_SMALL_BLOCKS),
-            lambda _: extract(cap_full),
-            operand=None,
-        )
+    counts, offsets, trunc = _tiered_block_extract(extract, nblk, cap_full)
     # Ungathered candidate blocks can hide matches from the offsets even
     # at count <= capacity — flag as overflow so drain recovers them.
     return counts, offsets, (counts > capacity) | trunc

@@ -35,6 +35,12 @@ class MatchConfig:
     # stamped by BoyerMooreMatcher at construction when bm_probes='table'.
     # Part of the config hash on purpose: it keys the jit/kernel caches.
     bm_probe_layout: tuple | None = None
+    # Boyer-Moore screen execution (sparse emission only): 'cand' emits
+    # probe-screen CANDIDATE block sums with no in-kernel verify (exact
+    # verify happens in the window-compare reconstruction — the fused
+    # kernel's per-tile pl.when verify stalled the tile pipeline, measured
+    # 3.75 vs 1.75 ms/256 MiB); 'fused' keeps the in-kernel verify.
+    bm_screen: str = "cand"
     # Pad text length to a multiple of this (TPU lane/sublane friendliness).
     pad_multiple: int = 1024
     # Use Pallas kernels where available ("auto" = on TPU backends only,

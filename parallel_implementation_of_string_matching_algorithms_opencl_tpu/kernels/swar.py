@@ -290,13 +290,17 @@ def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
 
 def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
                      bs_ref, ext_ref, *, W, C, m, Mnp, probes):
-    """Boyer-Moore execution: probe screen, then whole-tile skip.
+    """Boyer-Moore FUSED execution: probe screen, then whole-tile skip
+    (bm_screen='fused'; also the nib-emission path).
 
-    Measured design note: the straight-line SWAR verify streams at ~87 GB/s
-    (3 ms/256 MiB), so finer-than-tile predication cannot pay — an earlier
-    per-(8,128)-sub-block variant spent more on branch overhead than the
-    verify it skipped.  The screen's job is only to let match-free TILES
-    skip the m-word chain entirely; hit tiles take the full naive chain.
+    Measured design notes: finer-than-tile predication cannot pay (an
+    earlier per-(8,128)-sub-block variant spent more on branch overhead
+    than the verify it skipped) — and in round 2 the per-TILE ``pl.when``
+    itself measured as a pipeline stall (3.75 ms vs 1.75 ms for naive's
+    straight-line chain at 256 MiB with ~zero hit tiles).  The default
+    sparse path therefore skips in-kernel verification entirely
+    (``_screen_cand_kernel`` + window-compare reconstruction outside);
+    this fused kernel remains for nib emission and bm_screen='fused'.
     """
     ext_ref[:, :W] = x_ref[:]
     ext_ref[:, W:] = h_ref[:]

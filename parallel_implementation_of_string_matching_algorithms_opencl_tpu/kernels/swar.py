@@ -27,17 +27,21 @@ Interior words have an all-ones mask and skip the AND.
 Two kernels share this machinery:
 
 - ``naive_nib``   — every position verified (the honest O(n*m) scan, R1).
-- ``screened_nib``— Boyer-Moore-style: a cheap probe-word screen over the
-  whole tile, then a ``pl.when``-predicated full verify per (8, 128)-word
-  sub-block (16 KiB of text).  Sub-blocks with no probe hit skip the m-loop
-  entirely — the TPU-native translation of BM's skip loop, with the same
-  character: sublinear work on unfavorable-probe-free data, naive-equivalent
-  worst case (R4, BASELINE.json:5 "skip-loop for BM").
+- ``screened_nib``— Boyer-Moore-style probe-word screen.  Default sparse
+  execution (``screen_only=True``): the kernel emits CANDIDATE positions
+  from the probe compares alone — no in-kernel verify at all — and the
+  window-compare sparse reconstruction verifies outside; this is the
+  TPU-native answer to BM's skip loop (work beyond the cheap screen
+  scales with candidates, not text) and measured FASTER than the naive
+  chain once the fused variant's per-tile ``pl.when`` verify (a pipeline
+  stall) was dropped.  The fused tile-skip kernel remains for nib
+  emission / bm_screen='fused' (R4, BASELINE.json:5 "skip-loop for BM").
 
-Both emit a *nibble mask* (int32[L, W], bit a of word w = match starting
-at byte 4w+a) plus per-512-byte-block popcounts; counts and offsets are
-extracted without ever expanding to bool[N] (ops/emit.nibble_to_matches).
-``nibble_to_bool`` remains as a reference decoder for tests.
+All kernels emit per-512-byte-block popcounts (bsums-only by default);
+nib mode adds the *nibble mask* (int32[L, W], bit a of word w = match
+starting at byte 4w+a).  Counts and offsets are extracted without ever
+expanding to bool[N] (ops/emit).  ``nibble_to_bool`` remains as a
+reference decoder for tests.
 """
 
 from __future__ import annotations

@@ -73,6 +73,11 @@ def _verify_candidates(
     """
     n_pos = text.shape[0]
     m = pattern.shape[0]
+    # There can be at most n_pos candidates: clamp the gather to the text
+    # size.  Without this the kernel path's TAIL (m-1+pad bytes) still
+    # gathered verify_capacity=131072 windows — ~8 ms of the RK e2e wall
+    # for a 15-byte tail (measured; BM/naive tails had no such term).
+    verify_capacity = min(verify_capacity, n_pos)
     n_cand = jnp.sum(cand, dtype=jnp.int32)
 
     def fast(_):

@@ -49,7 +49,13 @@ class MatchConfig:
     # Run Pallas kernels in interpreter mode (debugging / CPU CI).
     interpret: bool = False
     # Bytes per SWAR kernel chunk (per-lane sequential run; VMEM-tuned).
-    pallas_chunk_bytes: int = 8192
+    # Chunk-size sweep on v5e (256 MiB, kernel-only): 16384 beats 8192 for
+    # the sub-chunk-serial kernels (RK 7.9 -> 4.6 ms, KMP 9.8 -> 9.1 ms —
+    # fewer grid steps amortize per-step overhead) and 32768 exceeds the
+    # 16 MB scoped-VMEM stack.  The SWAR kernels clamp their chunk to
+    # 4096 internally (compare-chain temporaries), so this only affects
+    # the Shift-AND / rolling-hash layouts.
+    pallas_chunk_bytes: int = 16384
     # Offset emission for the SWAR kernels: 'sparse' keeps the match-nibble
     # plane in VMEM scratch and reconstructs offsets from per-512B block
     # sums (kernel HBM traffic = read N + write N/128); 'nib' writes the

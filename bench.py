@@ -114,7 +114,7 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=256, help="corpus size in MiB")
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--passes", type=int, default=3,
                     help="timing passes; best pass median wins (shared-box noise)")
     ap.add_argument("--algos", default="naive,rabin_karp,kmp,boyer_moore")

@@ -485,3 +485,25 @@ def test_multi_sparse_truncation_flagged():
     got = r_rare.offsets_list()
     # either complete, or flagged for drain — NEVER silently missing
     assert got == exp_rare or r_rare.overflow
+
+
+def test_bm_cand_vs_fused_screen_parity():
+    # The candidate-only screen (default) and the fused in-kernel verify
+    # must produce identical exact results, including NUL-tail patterns
+    # and seam plants.
+    C = CFG.pallas_chunk_bytes
+    data = bytearray(gen_english(128 * C + 41, seed=55))
+    for patb in (b"candVSfused!", b"ab\x00\x00cd"):
+        for pos in (C - 5, 64 * C, 128 * C - len(patb)):
+            data[pos : pos + len(patb)] = patb
+        text = bytes(data)
+        expected = find_all(text, patb)
+        assert expected
+        r_c = BoyerMooreMatcher(
+            patb, CFG.replace(emission="sparse", bm_screen="cand")
+        ).match(text)
+        r_f = BoyerMooreMatcher(
+            patb, CFG.replace(emission="sparse", bm_screen="fused")
+        ).match(text)
+        assert r_c.count == r_f.count == len(expected), patb
+        assert r_c.offsets_list() == r_f.offsets_list() == expected

@@ -368,6 +368,12 @@ def _gen_corpus_file(path: str, total: int, pat: bytes, seed: int = 5,
                 k += 1
             if hi == total and len(chunk) >= len(pat):
                 chunk[-len(pat):] = pat
+                # The EOF plant may partially overwrite an already-recorded
+                # boundary plant; drop any recorded offset it clobbered so
+                # the planted-subset parity check can't fail on a
+                # corpus-generation artifact.
+                planted = [o for o in planted
+                           if o + len(pat) <= total - len(pat)]
                 planted.append(total - len(pat))
             f.write(chunk)
             written = hi

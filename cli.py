@@ -77,6 +77,13 @@ def main(argv=None) -> int:
     else:
         patterns = [p.encode("utf-8") for p in args.pattern]
 
+    if args.drain and (args.stream or args.distributed):
+        # Refuse rather than silently return a truncated offset list: the
+        # drain (re-extract EVERY offset past capacity) is only wired into
+        # the single-device match() path.
+        ap.error("--drain is only supported for single-device runs "
+                 "(without --stream/--distributed); raise --capacity instead")
+
     t0 = time.perf_counter()
     if args.stream:
         out = match_stream(

@@ -172,6 +172,7 @@ class RabinKarpMatcher(Matcher):
         from ..ops import tables as _t
 
         base = config.rk_base if config.rk_base is not None else int(_t.RK_BASE)
+        bsums = None
         if config.emission == "sparse":
             # Bsums-only screen: candidate counts per 512B block; the
             # window-compare sparse reconstruction verifies AND recounts
@@ -182,13 +183,14 @@ class RabinKarpMatcher(Matcher):
                 chunk_bytes=config.pallas_chunk_bytes,
                 interpret=config.interpret, words=words,
             )
-            if bsums is None:
-                return None
+        if bsums is not None:
             limit_k = jnp.minimum(n - m, cut - 1)
             c1, o1, v1 = _emit.bsums_to_matches_screened(
                 bsums, text, pattern, limit_k, config.capacity
             )
         else:
+            # Sparse needs C % 4096 == 0; odd chunk sizes fall back to the
+            # nib-emission rolling-hash KERNEL, not to the dense jnp path.
             nib, cut = rk_roll.rk_candidate_nib(
                 text, n,
                 tables_["pattern_hash"].reshape(1), m, base,
@@ -258,6 +260,7 @@ class KMPMatcher(Matcher):
             and _pallas_backend_ok(config)
         ):
             return None
+        bsums = nib = None
         if config.emission == "sparse":
             # Bsums-only scan: the end->start fold and validity live in
             # VMEM; offsets come back via the window-compare sparse
@@ -267,11 +270,10 @@ class KMPMatcher(Matcher):
                 chunk_bytes=config.pallas_chunk_bytes,
                 interpret=config.interpret, words=words,
             )
-            if bsums is None:
-                return None
-            nib = None
-        else:
-            bsums = None
+        if bsums is None:
+            # Sparse needs whole 512B blocks per sub-chunk (C % 4096); odd
+            # chunk sizes fall back to the nib-emission KERNEL, not to the
+            # dense-DFA path — the automaton still runs on-device.
             nib, cut = shift_and.kmp_nib(
                 text, n, tables_["sa_bt"], m,
                 chunk_bytes=config.pallas_chunk_bytes,

@@ -161,27 +161,48 @@ class Matcher:
         documented escape hatch for one-pass padded emission).
 
         Overflow drain by windowed re-extraction: re-run the matcher over
-        successive ``capacity``-byte windows of the text, each read with an
-        (m-1)-byte halo.  A window holds at most ``capacity`` start
-        positions, so no window can overflow, and the per-window validity
-        limit p <= len(window)-m is exactly start-ownership (the streaming
-        driver's identity), making the concatenation duplicate-free and
-        ascending.  Cost: ~count/capacity extra dispatches — only taken on
-        the overflow path.
+        windows of the text, each read with an (m-1)-byte halo.  The
+        per-window validity limit p <= len(window)-m is exactly
+        start-ownership (the streaming driver's identity), so the
+        concatenation is duplicate-free and ascending.  The window size is
+        derived from the exact global count (exact even on overflow):
+        ~capacity/2 expected matches per window, so the drain costs
+        ~2·count/capacity dispatches — not O(n/capacity) blind walking.  A
+        window that still overflows (locally dense matches, or the RK
+        screened candidate-block case) splits in half until it fits; a
+        ``capacity``-byte window holds at most ``capacity`` start positions
+        and therefore always terminates the recursion.
         """
         arr = as_byte_array(data)
         res = self.match(arr)
         if not res.overflow:
             return res
-        win = self.config.capacity
+        cap = self.config.capacity
+        pm = max(1, self.config.pad_multiple)
         n = len(arr)
+        est = max(1, res.count)
+        W = int(max(cap, min(n - 1, n * cap // (2 * est))))
+        W = -(-W // pm) * pm  # shape reuse across windows
+
         parts = []
-        for lo in range(0, n, win):
-            sub = arr[lo : lo + win + self.m - 1]
+
+        def drain(lo: int, w: int) -> None:
+            sub = arr[lo : lo + w + self.m - 1]
             r = self.match(sub)
-            assert not r.overflow  # <= win starts per window by construction
-            if r.count:
-                parts.append(np.asarray(r.offsets, np.int64) + lo)
+            if not r.overflow:
+                if r.count:
+                    offs = np.asarray(r.offsets, np.int64)
+                    parts.append(offs[offs >= 0] + lo)
+                return
+            assert w > cap, "capacity-byte window overflowed"
+            half = -(-(w // 2) // pm) * pm
+            if half >= w:
+                half = w // 2
+            drain(lo, half)
+            drain(lo + half, w - half)
+
+        for lo in range(0, n, W):
+            drain(lo, min(W, n - lo))
         offsets = (
             np.concatenate(parts) if parts else np.empty(0, np.int64)
         )

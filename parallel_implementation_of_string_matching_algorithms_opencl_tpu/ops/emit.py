@@ -246,6 +246,69 @@ def window_start_mask(windows: jnp.ndarray, pattern: jnp.ndarray):
     return jax.lax.fori_loop(0, m, body, jnp.ones((B, L), jnp.bool_))
 
 
+def _gather_candidate_windows(blk, rows, cap_b: int, nb: int, row_len: int,
+                              limit):
+    """Gather the first ``cap_b`` nonzero-block rows ascending, each with
+    its right-halo row appended (m-1 <= BLOCK_BYTES), and build the shared
+    validity mask.  The single implementation behind all three block-sparse
+    reconstructions (single/screened/multi) — the gids+1 clamp and fill-row
+    semantics must stay identical across them.
+
+    Returns (gids, win, vmask): gids int32[cap_b] block ids (``nb`` fill),
+    win uint8[cap_b, row_len] window rows, vmask bool[cap_b, L] masking
+    columns past ``limit`` and whole fill rows.  The clamp on gids+1 can
+    only misfeed window CONTENT for positions past ``limit`` (windows of
+    valid starts end within rows by the n-m clamp), and those are masked.
+    """
+    L = BLOCK_BYTES
+    gids = masked_positions(blk, cap_b, fill=nb)
+    gc = jnp.clip(gids, 0, nb - 1)
+    win = jnp.concatenate(
+        [
+            jnp.take(rows, gc, axis=0),
+            jnp.take(rows, jnp.clip(gc + 1, 0, nb - 1), axis=0),
+        ],
+        axis=1,
+    )[:, :row_len]
+    gpos = (gids * L)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    vmask = (gpos <= limit) & (gids < nb)[:, None]
+    return gids, win, vmask
+
+
+def _flat_ranks_to_offsets(sm, c_sm, gids, cap_b: int, capacity: int):
+    """Rank-select the flattened (cap_b, L) start mask and map flat ranks
+    back to global byte offsets (rows ascend and columns ascend within a
+    row, so flat rank order IS global offset order).  Count-tiered: the
+    per-rank row gather costs ~0.2 us/rank on v5e, so extracting at the
+    full configured capacity burned ~13 ms even for a 976-match run."""
+    L = BLOCK_BYTES
+    off_flat = _adaptive(
+        lambda cap: _rank_select_bool(sm.reshape(-1), c_sm, cap),
+        c_sm, capacity,
+    )
+    row = jnp.clip(off_flat // L, 0, cap_b - 1)
+    pos = gids[row] * L + off_flat % L
+    return jnp.where(off_flat >= 0, pos, FILL)
+
+
+def _screened_count(c_sm, nblk, cap_b: int, nb: int, text, pattern, limit):
+    """Exact global count for a screened gather: the in-gather recount when
+    every candidate block was gathered, else the dense slab recount.
+    Returns (count, truncated) — truncated means ungathered candidate
+    blocks may hide matches from the offset buffer."""
+    import jax
+
+    if cap_b >= nb:
+        return c_sm, jnp.bool_(False)
+    count = jax.lax.cond(
+        nblk <= cap_b,
+        lambda _: c_sm,
+        lambda _: _dense_block_count(text, pattern, nb, limit),
+        operand=None,
+    )
+    return count, nblk > cap_b
+
+
 def bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
                      pattern: jnp.ndarray, limit, capacity: int):
     """(count, offsets[capacity], overflow) from per-block popcounts ALONE.
@@ -264,8 +327,6 @@ def bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
     recompute sees raw window-compare truth, including positions the kernel
     clamped — e.g. NUL-suffixed patterns matching in the padding tail).
     """
-    import jax
-
     nb = bs.shape[0]
     L = BLOCK_BYTES
     m = pattern.shape[0]
@@ -283,36 +344,11 @@ def bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
     rows = text[: nb * L].reshape(nb, L)
 
     def extract(cap_b: int):
-        gids = masked_positions(blk, cap_b, fill=nb)
-        gc = jnp.clip(gids, 0, nb - 1)
-        base = gids * L
-        # Window rows = block row + right-halo row (m-1 <= L).  The clamp
-        # on gids+1 can only misfeed window CONTENT for positions past
-        # ``limit`` (windows of valid starts end within rows by the n-m
-        # clamp), and those are masked below.
-        win = jnp.concatenate(
-            [
-                jnp.take(rows, gc, axis=0),
-                jnp.take(rows, jnp.clip(gc + 1, 0, nb - 1), axis=0),
-            ],
-            axis=1,
-        )[:, :row_len]
-        sm = window_start_mask(win, pattern)  # (cap_b, L)
-        gpos = base[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
-        sm = sm & (gpos <= limit)
-        # Rows ascend (gids ascending) and columns ascend within a row, so
-        # flat rank order IS global offset order.  The rank-select is
-        # count-tiered (_adaptive): its per-rank row gather costs ~0.2 us
-        # PER RANK on v5e, so selecting at the full configured capacity
-        # (65536 default) burned ~13 ms even for a 976-match run —
-        # measured; this one call was the entire sparse-vs-nib regression.
-        off_flat = _adaptive(
-            lambda cap: _rank_select_bool(sm.reshape(-1), count, cap),
-            count, capacity,
+        gids, win, vmask = _gather_candidate_windows(
+            blk, rows, cap_b, nb, row_len, limit
         )
-        row = jnp.clip(off_flat // L, 0, cap_b - 1)
-        pos = gids[row] * L + off_flat % L
-        return jnp.where(off_flat >= 0, pos, FILL)
+        sm = window_start_mask(win, pattern) & vmask  # (cap_b, L)
+        return _flat_ranks_to_offsets(sm, count, gids, cap_b, capacity)
 
     # Every nonzero block holds >= 1 match, so ``capacity`` blocks always
     # suffice to produce the first ``capacity`` offsets (incl. overflow).
@@ -376,8 +412,6 @@ def bsums_to_matches_screened(bs: jnp.ndarray, text: jnp.ndarray,
     candidate blocks — ascending true matches, complete through the last
     gathered block.
     """
-    import jax
-
     nb = bs.shape[0]
     L = BLOCK_BYTES
     m = pattern.shape[0]
@@ -387,48 +421,22 @@ def bsums_to_matches_screened(bs: jnp.ndarray, text: jnp.ndarray,
     nblk = jnp.sum(blk, dtype=jnp.int32)
     rows = text[: nb * L].reshape(nb, L)
 
-    def gather_sm(cap_b: int):
-        gids = masked_positions(blk, cap_b, fill=nb)
-        gc = jnp.clip(gids, 0, nb - 1)
-        win = jnp.concatenate(
-            [
-                jnp.take(rows, gc, axis=0),
-                jnp.take(rows, jnp.clip(gc + 1, 0, nb - 1), axis=0),
-            ],
-            axis=1,
-        )[:, :row_len]
-        sm = window_start_mask(win, pattern)
-        gpos = (gids * L)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
-        sm = sm & (gpos <= limit) & (gids < nb)[:, None]
-        return gids, sm
-
     cap_full = min(max(capacity, _SMALL_BLOCKS), nb)
 
     def extract(cap_b: int):
-        gids, sm = gather_sm(cap_b)
-        c_sm = jnp.sum(sm, dtype=jnp.int32)
-        off_flat = _adaptive(
-            lambda cap: _rank_select_bool(sm.reshape(-1), c_sm, cap),
-            c_sm, capacity,
+        gids, win, vmask = _gather_candidate_windows(
+            blk, rows, cap_b, nb, row_len, limit
         )
-        row = jnp.clip(off_flat // L, 0, cap_b - 1)
-        pos = gids[row] * L + off_flat % L
-        offsets = jnp.where(off_flat >= 0, pos, FILL)
-        if cap_b >= nb:
-            count = c_sm  # every block gathered: recount is global
-            trunc = jnp.bool_(False)
-        else:
-            count = jax.lax.cond(
-                nblk <= cap_b,
-                lambda _: c_sm,
-                lambda _: _dense_block_count(text, pattern, nb, limit),
-                operand=None,
-            )
-            # Candidate blocks beyond the gather can hold matches the
-            # offsets missed even when count <= capacity (pure-false-
-            # positive blocks displace match blocks) — surface that as
-            # overflow so drain/windowed re-extraction recovers them.
-            trunc = nblk > cap_b
+        sm = window_start_mask(win, pattern) & vmask
+        c_sm = jnp.sum(sm, dtype=jnp.int32)
+        offsets = _flat_ranks_to_offsets(sm, c_sm, gids, cap_b, capacity)
+        # Candidate blocks beyond the gather can hold matches the offsets
+        # missed even when count <= capacity (pure-false-positive blocks
+        # displace match blocks) — ``trunc`` surfaces that as overflow so
+        # drain/windowed re-extraction recovers them.
+        count, trunc = _screened_count(
+            c_sm, nblk, cap_b, nb, text, pattern, limit
+        )
         return count, offsets, trunc
 
     count, offsets, trunc = _tiered_block_extract(extract, nblk, cap_full)
@@ -447,8 +455,6 @@ def multi_bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
     the 1 GB / 8-pattern config).  Per pattern only the window compare,
     the count-tiered rank-select, and (rarely) the dense recount differ.
     """
-    import jax
-
     k, m = patterns.shape
     nb = bs.shape[0]
     L = BLOCK_BYTES
@@ -460,42 +466,21 @@ def multi_bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
     cap_full = min(max(capacity, _SMALL_BLOCKS), nb)
 
     def extract(cap_b: int):
-        gids = masked_positions(blk, cap_b, fill=nb)
-        gc = jnp.clip(gids, 0, nb - 1)
-        win = jnp.concatenate(
-            [
-                jnp.take(rows, gc, axis=0),
-                jnp.take(rows, jnp.clip(gc + 1, 0, nb - 1), axis=0),
-            ],
-            axis=1,
-        )[:, :row_len]
-        gpos = (gids * L)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
-        vmask = (gpos <= limit) & (gids < nb)[:, None]
+        gids, win, vmask = _gather_candidate_windows(
+            blk, rows, cap_b, nb, row_len, limit
+        )
         counts, offs = [], []
+        trunc = jnp.bool_(False)
         for p in range(k):
             sm = window_start_mask(win, patterns[p]) & vmask
             c_sm = jnp.sum(sm, dtype=jnp.int32)
-            off_flat = _adaptive(
-                lambda cap, sm=sm, c=c_sm: _rank_select_bool(
-                    sm.reshape(-1), c, cap
-                ),
-                c_sm, capacity,
+            offs.append(
+                _flat_ranks_to_offsets(sm, c_sm, gids, cap_b, capacity)
             )
-            row = jnp.clip(off_flat // L, 0, cap_b - 1)
-            pos = gids[row] * L + off_flat % L
-            offs.append(jnp.where(off_flat >= 0, pos, FILL))
-            if cap_b >= nb:
-                counts.append(c_sm)
-            else:
-                counts.append(jax.lax.cond(
-                    nblk <= cap_b,
-                    lambda _, c=c_sm: c,
-                    lambda _, p=p: _dense_block_count(
-                        text, patterns[p], nb, limit
-                    ),
-                    operand=None,
-                ))
-        trunc = (jnp.bool_(False) if cap_b >= nb else nblk > cap_b)
+            count, trunc = _screened_count(
+                c_sm, nblk, cap_b, nb, text, patterns[p], limit
+            )
+            counts.append(count)
         return (jnp.stack(counts), jnp.stack(offs),
                 jnp.broadcast_to(trunc, (k,)))
 

@@ -140,7 +140,11 @@ def match_multihost(
     size = os.path.getsize(path)
     arr, offset, owned = load_host_slice(path, len(pattern), pid, pc)
     local = get_matcher(algo)(pattern, cfg).match(arr)
-    local_offs = local.offsets.astype(np.int64) + offset
+    # Drop FILL(-1) holes BEFORE rebasing (the screened sparse paths can
+    # leave interior -1 entries when candidate blocks exceed the gather
+    # tier) — rebasing first would turn them into phantom offset-1 hits.
+    local_offs = local.offsets.astype(np.int64)
+    local_offs = local_offs[local_offs >= 0] + offset
 
     if pc == 1:
         return MatchResult(

@@ -1,11 +1,12 @@
 """Parity tests: every algorithm vs the golden oracle (SURVEY.md §4.1-4.2)."""
 
+import os
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from conformance.oracle import find_all
 
 from parallel_implementation_of_string_matching_algorithms_opencl_tpu import (
@@ -167,6 +168,22 @@ def test_drain_noop_without_overflow():
     text = b"hello world hello"
     res = match(text, b"hello", algo="kmp", config=CFG, drain=True)
     assert res.count == 2 and res.offsets_list() == [0, 12]
+
+
+def test_drain_clustered_matches_split_windows():
+    # Matches packed into one small region: the count-derived drain window
+    # is sized for the AVERAGE density, so the cluster's window still
+    # overflows and must split recursively until every window fits.
+    text = bytearray(b"x" * 20_000)
+    for i in range(200):
+        text[4 * i : 4 * i + 2] = b"ab"
+    text = bytes(text)
+    want = find_all(text, b"ab")
+    assert len(want) == 200
+    res = match(text, b"ab", algo="naive",
+                config=CFG.replace(capacity=8), drain=True)
+    assert res.count == 200 and not res.overflow
+    assert res.offsets_list() == want
 
 
 def test_drain_dense_every_position():

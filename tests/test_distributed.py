@@ -1,13 +1,14 @@
 """Distributed (shard_map) parity tests on the forced-8-device CPU mesh
 (SURVEY.md §4.5): halo correctness at shard seams, psum/all_gather merge."""
 
+import os
 import sys
 
 import jax
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from conformance.oracle import find_all
 
 from parallel_implementation_of_string_matching_algorithms_opencl_tpu import (

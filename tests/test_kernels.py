@@ -334,6 +334,41 @@ def test_sparse_emission_dense_tier_crossing():
             assert bool(r.overflow) == (len(expected) > cap)
 
 
+def test_sparse_odd_chunk_falls_back_to_nib_kernel(monkeypatch):
+    # emission='sparse' with C % 4096 != 0: kmp_bsums/rk_candidate_bsums
+    # decline (they need whole 512B blocks per sub-chunk), and the matcher
+    # must fall back to the nib-emission KERNEL — the automaton/hash still
+    # runs on-device — never to the dense jnp path.
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import (
+        rk_roll,
+    )
+
+    calls = []
+    real_kmp, real_rk = shift_and.kmp_nib, rk_roll.rk_candidate_nib
+    monkeypatch.setattr(
+        shift_and, "kmp_nib",
+        lambda *a, **k: (calls.append("kmp"), real_kmp(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        rk_roll, "rk_candidate_nib",
+        lambda *a, **k: (calls.append("rk"), real_rk(*a, **k))[1],
+    )
+    # Distinct capacity -> fresh jit-cache key, so _direct re-traces and
+    # the spies actually observe the path taken.
+    cfg = CFG.replace(capacity=2048)
+    assert cfg.emission == "sparse" and cfg.pallas_chunk_bytes % 4096 != 0
+    data = bytearray(gen_english(40 * 512 + 333, seed=99))
+    pat = bytes(gen_english(11, seed=123))
+    data[1000 : 1000 + len(pat)] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert expected
+    for cls, tag in ((KMPMatcher, "kmp"), (RabinKarpMatcher, "rk")):
+        r = cls(pat, cfg).match(text)
+        assert tag in calls, f"{tag} nib kernel never engaged"
+        assert r.count == len(expected) and r.offsets_list() == expected
+
+
 @pytest.mark.parametrize("m", [5, 33, 256])
 def test_kmp_bsums_kernel_parity(m):
     # Bsums-only Shift-AND: in-kernel end->start fold + validity + block

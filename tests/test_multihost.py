@@ -17,7 +17,8 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 from conformance.oracle import find_all
 
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -32,12 +33,33 @@ def _free_port() -> int:
 
 def _run_cluster(tmp_path, text: bytes, pattern: bytes, algo: str,
                  nprocs: int = 2, timeout: int = 240):
+    # _free_port has an inherent close-then-rebind window; retry on the
+    # rare collision instead of failing the test spuriously.
+    last = None
+    for _ in range(3):
+        try:
+            return _run_cluster_once(tmp_path, text, pattern, algo,
+                                     nprocs, timeout)
+        except AssertionError as e:
+            last = e
+            if "in use" not in str(e) and "Address already" not in str(e):
+                raise
+    raise last
+
+
+def _run_cluster_once(tmp_path, text: bytes, pattern: bytes, algo: str,
+                      nprocs: int = 2, timeout: int = 240):
     corpus = tmp_path / "corpus.bin"
     corpus.write_bytes(text)
     port = _free_port()
     outs = [tmp_path / f"out_{pid}.json" for pid in range(nprocs)]
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/.axon_site:/root/repo"
+    # Workers need the repo root importable; keep whatever the parent
+    # already had (site dirs etc.) rather than hardcoding machine paths.
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO_ROOT] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                       if p and p != REPO_ROOT]
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), str(nprocs), str(port),

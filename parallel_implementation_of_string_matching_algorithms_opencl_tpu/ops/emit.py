@@ -45,27 +45,40 @@ def mask_to_matches(mask: jnp.ndarray, capacity: int):
 
 
 # Extraction cost scales with the rank count extracted (the per-rank row
-# gather dominates); most runs have far fewer matches than the offset
-# capacity, so extract through a small tier first and only fall back to the
-# full-capacity extraction when the count demands it.
+# gather dominates, ~0.2 us/rank on v5e); most runs have far fewer matches
+# than the offset capacity, so run the extraction at the smallest rank tier
+# that fits the runtime count.  The x4 ladder bounds the waste at 4x the
+# count while keeping the lax.switch branch count (= trace size) small.
 _SMALL_CAP = 4096
 
 
-def _adaptive(extract, count, capacity: int):
+def _adaptive(extract, count, capacity: int, fills=()):
     if capacity <= _SMALL_CAP:
         return extract(capacity)
     import jax
 
-    def small(_):
-        out = extract(_SMALL_CAP)
-        return jnp.concatenate(
-            [out, jnp.full((capacity - _SMALL_CAP,), FILL, jnp.int32)]
+    tiers = []
+    t = _SMALL_CAP
+    while t < capacity:
+        tiers.append(t)
+        t *= 4
+    tiers.append(capacity)
+
+    def at(t: int):
+        out = extract(t)
+        if t == capacity:
+            return out
+        pad = lambda o, f: jnp.concatenate(
+            [o, jnp.full((capacity - t,), f, o.dtype)]
         )
+        if isinstance(out, tuple):
+            return tuple(pad(o, f) for o, f in zip(out, fills))
+        return pad(out, FILL)
 
-    def full(_):
-        return extract(capacity)
-
-    return jax.lax.cond(count <= _SMALL_CAP, small, full, operand=None)
+    bucket = sum(
+        (count > jnp.int32(t)).astype(jnp.int32) for t in tiers[:-1]
+    )
+    return jax.lax.switch(bucket, [lambda t=t: at(t) for t in tiers])
 
 
 _BLOCK = 128  # bool-mask extraction block (one vector row)
@@ -97,6 +110,34 @@ def _rank_select_bool(mask: jnp.ndarray, count, capacity: int):
     wi = jnp.sum((wcum <= r_in).astype(jnp.int32), axis=1)
     pos = bi_c * B + wi
     return jnp.where(r < count, pos, FILL)
+
+
+def _rank_select_nonzero(vals: jnp.ndarray, count, capacity: int):
+    """(positions, values) of the first ``capacity`` NONZERO entries of
+    int32[n] ``vals`` (ascending, FILL/0 padded) — the packed-plane variant
+    of ``_rank_select_bool``: one rank pass extracts a position AND its
+    payload word, which is what lets k patterns share a single extraction
+    (bit p of the payload = "pattern p starts here")."""
+    n = vals.shape[0]
+    B = _BLOCK
+    nb = -(-n // B)
+    if n % B:
+        vals = jnp.pad(vals, (0, nb * B - n))
+    rows_all = vals.reshape(nb, B)
+    bsum = jnp.sum(rows_all != 0, axis=1, dtype=jnp.int32)
+    bpre = jnp.cumsum(bsum, dtype=jnp.int32)  # inclusive
+    r = jnp.arange(capacity, dtype=jnp.int32)
+    bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
+    bi_c = jnp.minimum(bi, nb - 1)
+    prev = bpre[bi_c] - bsum[bi_c]
+    rows = rows_all[bi_c]                       # (capacity, B)
+    wcum = jnp.cumsum((rows != 0).astype(jnp.int32), axis=1)
+    r_in = (r - prev)[:, None]
+    wi = jnp.sum((wcum <= r_in).astype(jnp.int32), axis=1)
+    pos = bi_c * B + wi
+    val = jnp.take_along_axis(rows, wi[:, None], axis=1)[:, 0]
+    ok = r < count
+    return jnp.where(ok, pos, FILL), jnp.where(ok, val, 0)
 
 
 def masked_positions(mask: jnp.ndarray, capacity: int, fill: int = FILL):
@@ -452,13 +493,20 @@ def multi_bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
     done once per tier — per-pattern `bsums_to_matches_screened` calls
     would each re-gather the union blocks inside their own cond branches,
     which XLA cannot CSE across (measured 8x redundant ~100 MB gathers on
-    the 1 GB / 8-pattern config).  Per pattern only the window compare,
-    the count-tiered rank-select, and (rarely) the dense recount differ.
+    the 1 GB / 8-pattern config).  The rank-select is ALSO shared: the k
+    start masks pack into one int32 plane (bit p = pattern p starts here)
+    and a single ``_rank_select_nonzero`` pass extracts the union
+    positions + membership words; each pattern then compacts its subset
+    with a dense ``jnp.sort`` over the capacity-sized buffer — per-rank
+    row gathers cost ~0.2 us on v5e, so k separate full-capacity
+    rank-selects were ~8x this cost on the 1 GB / 8-pattern config.
     """
+    INF = jnp.int32(0x7FFFFFFF)
     k, m = patterns.shape
     nb = bs.shape[0]
     L = BLOCK_BYTES
     assert m - 1 <= L
+    assert k <= 31, "packed-plane extraction holds one pattern per bit"
     row_len = L + m - 1
     blk = bs > 0
     nblk = jnp.sum(blk, dtype=jnp.int32)
@@ -469,18 +517,37 @@ def multi_bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
         gids, win, vmask = _gather_candidate_windows(
             blk, rows, cap_b, nb, row_len, limit
         )
-        counts, offs = [], []
+        counts, sms = [], []
         trunc = jnp.bool_(False)
+        pk = None
         for p in range(k):
             sm = window_start_mask(win, patterns[p]) & vmask
-            c_sm = jnp.sum(sm, dtype=jnp.int32)
-            offs.append(
-                _flat_ranks_to_offsets(sm, c_sm, gids, cap_b, capacity)
-            )
+            sms.append(sm)
+            plane = sm.astype(jnp.int32) << p
+            pk = plane if pk is None else pk | plane
             count, trunc = _screened_count(
-                c_sm, nblk, cap_b, nb, text, patterns[p], limit
+                jnp.sum(sm, dtype=jnp.int32), nblk, cap_b, nb, text,
+                patterns[p], limit,
             )
             counts.append(count)
+        union = jnp.sum(pk != 0, dtype=jnp.int32)
+        off_flat, uval = _adaptive(
+            lambda cap: _rank_select_nonzero(pk.reshape(-1), union, cap),
+            union, capacity, fills=(FILL, 0),
+        )
+        row = jnp.clip(off_flat // L, 0, cap_b - 1)
+        gpos = jnp.where(
+            off_flat >= 0, gids[row] * L + off_flat % L, INF
+        )
+        offs = []
+        for p in range(k):
+            keys = jnp.where(((uval >> p) & 1) == 1, gpos, INF)
+            srt = jnp.sort(keys)
+            offs.append(jnp.where(srt != INF, srt, FILL))
+        # A truncated union extraction can hide pattern p's matches even
+        # when count_p <= capacity — fold it into the overflow flag so
+        # drain/windowed re-extraction recovers them.
+        trunc = trunc | (union > capacity)
         return (jnp.stack(counts), jnp.stack(offs),
                 jnp.broadcast_to(trunc, (k,)))
 

@@ -444,6 +444,35 @@ def test_rk_bsums_screen_parity(m):
     assert rs.offsets_list() == rn.offsets_list() == expected
 
 
+def test_rk_multi_dense_union_tiers_and_truncation():
+    # Dense multi-pattern (m=2 english digraphs): the packed-plane union
+    # extraction crosses its _SMALL_CAP tier ladder, and a small capacity
+    # forces union truncation — counts must stay exact, offsets must be an
+    # ascending PREFIX of the oracle's, and overflow must be flagged.
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.multi import (
+        RabinKarpMultiMatcher,
+    )
+
+    text = bytes(gen_english(32 * 4096 + 99, seed=83))
+    pats = [b"e ", b" t", b"th", b"qq"]
+    expected = [find_all(text, p) for p in pats]
+    assert sum(len(e) for e in expected) > 8192  # union crosses _SMALL_CAP
+    base = CFG.replace(emission="sparse", pallas_chunk_bytes=4096)
+
+    big = RabinKarpMultiMatcher(pats, base.replace(capacity=65536))
+    for r, exp in zip(big.match(text), expected):
+        assert r.count == len(exp) and not r.overflow
+        assert r.offsets_list() == exp
+
+    small = RabinKarpMultiMatcher(pats, base.replace(capacity=1024))
+    for r, exp in zip(small.match(text), expected):
+        assert r.count == len(exp)  # counts exact regardless
+        got = r.offsets_list()
+        assert got == exp[: len(got)]  # ascending prefix
+        if len(exp) > len(got):
+            assert r.overflow
+
+
 def test_rk_multi_sparse_parity():
     text = bytearray(gen_english(128 * 4096 + 99, seed=81))
     pats = [bytes(text[977 * i + 100 : 977 * i + 116]) for i in range(4)]

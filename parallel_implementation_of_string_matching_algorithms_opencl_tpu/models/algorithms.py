@@ -143,8 +143,15 @@ class RabinKarpMatcher(Matcher):
             return verify_at(jnp.where(small_pos >= 0, small_pos, N), small)
 
         def fast_big(_):
+            # Count-tiered window gather (the rank-select inside
+            # nibble_positions is already tiered): verifying n_cand
+            # candidates at the full configured vcap paid per-row gather
+            # cost for rows that are all fill.
             idx = _emit.nibble_positions(nib, limit_k, vcap, fill=N)
-            return verify_at(idx, vcap)
+            return _emit.tiered_by_count(
+                lambda cap: verify_at(idx[:cap], cap), n_cand, vcap,
+                floor=small,
+            )
 
         def slow(_):
             # pathological candidate overflow: fall back to the exact jnp

@@ -52,18 +52,29 @@ def mask_to_matches(mask: jnp.ndarray, capacity: int):
 _SMALL_CAP = 4096
 
 
-def _adaptive(extract, count, capacity: int, fills=()):
-    if capacity <= _SMALL_CAP:
-        return extract(capacity)
+def tiered_by_count(fn, count, capacity: int, floor: int = _SMALL_CAP):
+    """Run ``fn(cap)`` at the smallest x4-ladder tier >= the runtime
+    ``count`` (lax.switch).  ``fn`` must return identically-shaped pytrees
+    for every cap — use this directly when the output shape is
+    cap-independent (e.g. a full-length mask); use ``_adaptive`` for
+    cap-shaped offset buffers (it pads them to ``capacity``)."""
+    if capacity <= floor:
+        return fn(capacity)
     import jax
 
     tiers = []
-    t = _SMALL_CAP
+    t = floor
     while t < capacity:
         tiers.append(t)
         t *= 4
     tiers.append(capacity)
+    bucket = sum(
+        (count > jnp.int32(t)).astype(jnp.int32) for t in tiers[:-1]
+    )
+    return jax.lax.switch(bucket, [lambda t=t: fn(t) for t in tiers])
 
+
+def _adaptive(extract, count, capacity: int, fills=()):
     def at(t: int):
         out = extract(t)
         if t == capacity:
@@ -75,10 +86,7 @@ def _adaptive(extract, count, capacity: int, fills=()):
             return tuple(pad(o, f) for o, f in zip(out, fills))
         return pad(out, FILL)
 
-    bucket = sum(
-        (count > jnp.int32(t)).astype(jnp.int32) for t in tiers[:-1]
-    )
-    return jax.lax.switch(bucket, [lambda t=t: at(t) for t in tiers])
+    return tiered_by_count(at, count, capacity)
 
 
 _BLOCK = 128  # bool-mask extraction block (one vector row)
@@ -239,7 +247,7 @@ BLOCK_BYTES = 512  # kernel block-sum granularity (128 int32 words)
 # full-capacity gather (65536 row-gathers ~ 13 ms for a 2840-candidate
 # run — measured; the graded ladder makes it ~1.6 ms).
 _SMALL_BLOCKS = 1024
-_BLOCK_TIERS = (1024, 8192)
+_BLOCK_TIERS = (1024, 8192, 65536, 262144)
 
 
 def _tiered_block_extract(extract, nblk, cap_full: int):

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .emit import masked_positions
+from .emit import masked_positions, tiered_by_count
 from .naive import naive_start_mask
 
 # Capacity of the candidate-verification gather. True matches are candidates
@@ -80,13 +80,21 @@ def _verify_candidates(
     verify_capacity = min(verify_capacity, n_pos)
     n_cand = jnp.sum(cand, dtype=jnp.int32)
 
-    def fast(_):
+    def fast_at(cap: int):
+        # Count-tiered: rank-select AND window gather both cost per row,
+        # so verifying a ~100-candidate tail at a 2**19 configured
+        # capacity burned ~100 ms/pattern on v5e (measured; it dominated
+        # the 1 GB 8-pattern runner).  The output mask shape is
+        # cap-independent, so the switch needs no padding.
         padded = jnp.pad(text, (0, m))
-        idx = masked_positions(cand, verify_capacity, fill=n_pos)
+        idx = masked_positions(cand, cap, fill=n_pos)
         windows = padded[idx[:, None] + jnp.arange(m)[None, :]]
         ok = jnp.all(windows == pattern[None, :], axis=1) & (idx < n_pos)
         out = jnp.zeros((n_pos,), jnp.bool_)
         return out.at[idx].max(ok, mode="drop")
+
+    def fast(_):
+        return tiered_by_count(fast_at, n_cand, verify_capacity)
 
     def slow(_):
         return cand & naive_start_mask(text, pattern)

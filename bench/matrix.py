@@ -33,12 +33,85 @@ import time
 ROW_EXTRA: dict = {}  # device/scale stamped on every row (set in main)
 
 
+_CTRL: dict = {}
+
+
+def _box_control():
+    """Per-call ms of a fixed 64 MiB naive-kernel scan, measured right next
+    to the row it stamps.  The shared dev box behind the TPU tunnel drifts
+    between ~1x and ~20x device-time states on a minutes scale (BASELINE.md
+    timing notes); this control makes ranges across reruns interpretable —
+    fast-state reference is ~0.45 ms.  TPU backend only (returns None on
+    the CPU mesh, whose rows are code-path validation, not chip perf)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    if "fn" not in _CTRL:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import (  # noqa: E501
+            swar,
+        )
+        from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (  # noqa: E501
+            gen_english,
+            pad_to_multiple,
+        )
+
+        nc = 64 << 20
+        tc = pad_to_multiple(
+            np.frombuffer(gen_english(nc, seed=99), np.uint8), 1024
+        )
+        P, _ = swar.pattern_words(np.frombuffer(b"box control probe", np.uint8))
+        Pd = jax.device_put(jnp.asarray(P))
+        td = jax.device_put(jnp.asarray(tc))
+        wd = jax.device_put(jnp.asarray(tc.view(np.int32)))
+        fn = jax.jit(
+            lambda t, w, n: swar.naive_nib(
+                t, n, Pd, 17, chunk_bytes=16384, words=w, emit_nib=False
+            )[1]
+        )
+        jax.block_until_ready(fn(td, wd, jnp.int32(nc)))  # compile
+        _CTRL.update(fn=fn, td=td, wd=wd, nc=nc, it=0)
+    import jax.numpy as jnp
+
+    fn, td, wd = _CTRL["fn"], _CTRL["td"], _CTRL["wd"]
+    nul = jax.jit(lambda x: x + 1)
+    int(nul(jnp.int32(0)))
+    times, rtts = [], []
+    for _ in range(3):
+        _CTRL["it"] += 1
+        n_i = jnp.int32(_CTRL["nc"] - (_CTRL["it"] % 64))  # replay-proof
+        t0 = time.perf_counter()
+        # CONSUME an element — the tunnel lazily elides unconsumed
+        # executions (see _time_runner), and block_until_ready alone let
+        # this control read 0.01 ms for a 64 MiB scan.
+        int(fn(td, wd, n_i).reshape(-1)[0])
+        times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        int(nul(jnp.int32(_CTRL["it"])))
+        rtts.append(time.perf_counter() - t0)
+    # Raw best-of plus the null RTT, NOT the difference: the control scan
+    # is ~0.45 ms fast-state, the same order as the RTT, so a subtraction
+    # is noise — downstream reads (control - rtt) / 0.45ms as the
+    # box-slowness factor, trusting it only when it is >> 1.
+    return round(min(times) * 1e3, 3), round(min(rtts) * 1e3, 3)
+
+
 def emit(row):
     row = {**row, **ROW_EXTRA}
     # Speed-of-light guard: a single-chip scan cannot beat v5e HBM
     # bandwidth (~0.82 TB/s); anything faster is a metrology bug.
     if row.get("bytes_per_s", 0) > 0.9e12 and row.get("n_devices", 1) == 1:
         row["timing_suspect"] = True
+    try:
+        ctrl = _box_control()
+    except Exception as e:  # a broken control must not kill the bench row
+        print(f"box control failed: {e!r}", file=sys.stderr)
+        ctrl = None
+    if ctrl is not None:
+        row["box_control_ms"], row["box_rtt_ms"] = ctrl
     print(json.dumps(row), flush=True)
     with open("BENCH_MATRIX.json", "a") as f:
         f.write(json.dumps(row) + "\n")

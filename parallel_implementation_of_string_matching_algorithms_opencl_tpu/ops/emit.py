@@ -12,6 +12,7 @@ All algorithm ops produce a boolean *start mask* over text positions
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Default per-call offset capacity.  Callers can raise it; counts are always
@@ -60,8 +61,6 @@ def tiered_by_count(fn, count, capacity: int, floor: int = _SMALL_CAP):
     cap-shaped offset buffers (it pads them to ``capacity``)."""
     if capacity <= floor:
         return fn(capacity)
-    import jax
-
     tiers = []
     t = floor
     while t < capacity:
@@ -92,13 +91,40 @@ def _adaptive(extract, count, capacity: int, fills=()):
 _BLOCK = 128  # bool-mask extraction block (one vector row)
 
 
+def _rank_to_block(bpre, bsum, nb: int, capacity: int):
+    """int32[capacity]: block id owning each rank (clamped in [0, nb-1];
+    entries past the total count hold the last nonempty block — callers
+    mask on ``r < count``).
+
+    Two lowerings, chosen statically: `searchsorted` binary-searches per
+    rank (~0.2-0.6 us/rank on v5e — it was ~80% of the whole rank-select
+    at 2^19 ranks, measured); the inverse map scatters each nonempty
+    block's id at its first rank and cummax-fills (~5 ns per BLOCK), which
+    wins whenever ranks aren't vastly outnumbered by blocks.
+    """
+    if nb <= 64 * capacity:
+        starts = bpre - bsum  # exclusive prefix = block's first rank
+        tgt = jnp.where(
+            (bsum > 0) & (starts < capacity), starts, jnp.int32(capacity)
+        )
+        bi = (
+            jnp.zeros((capacity,), jnp.int32)
+            .at[tgt]
+            .max(jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        )
+        return jax.lax.cummax(bi)
+    r = jnp.arange(capacity, dtype=jnp.int32)
+    bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
+    return jnp.minimum(bi, nb - 1)
+
+
 def _rank_select_bool(mask: jnp.ndarray, count, capacity: int):
     """offsets[r] = position of the r-th set bit (ascending, -1 padded).
 
-    Rank-select by block prefix + searchsorted + per-rank row gather: cost
-    scales with ``capacity`` and one cheap reduction pass — a scatter with
-    one update per text position measures ~5 ns/update on TPU (1.3 s for
-    256 MiB), and jnp.nonzero's sort is worse.
+    Rank-select by block prefix + rank->block map + per-rank row gather:
+    cost scales with ``capacity`` and one cheap reduction pass — a scatter
+    with one update per text position measures ~5 ns/update on TPU (1.3 s
+    for 256 MiB), and jnp.nonzero's sort is worse.
     """
     n = mask.shape[0]
     B = _BLOCK
@@ -109,8 +135,7 @@ def _rank_select_bool(mask: jnp.ndarray, count, capacity: int):
     bsum = jnp.sum(blk, axis=1, dtype=jnp.int32)
     bpre = jnp.cumsum(bsum, dtype=jnp.int32)  # inclusive
     r = jnp.arange(capacity, dtype=jnp.int32)
-    bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
-    bi_c = jnp.minimum(bi, nb - 1)
+    bi_c = _rank_to_block(bpre, bsum, nb, capacity)
     prev = bpre[bi_c] - bsum[bi_c]
     rows = blk[bi_c].astype(jnp.int32)          # (capacity, B)
     wcum = jnp.cumsum(rows, axis=1)
@@ -135,8 +160,7 @@ def _rank_select_nonzero(vals: jnp.ndarray, count, capacity: int):
     bsum = jnp.sum(rows_all != 0, axis=1, dtype=jnp.int32)
     bpre = jnp.cumsum(bsum, dtype=jnp.int32)  # inclusive
     r = jnp.arange(capacity, dtype=jnp.int32)
-    bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
-    bi_c = jnp.minimum(bi, nb - 1)
+    bi_c = _rank_to_block(bpre, bsum, nb, capacity)
     prev = bpre[bi_c] - bsum[bi_c]
     rows = rows_all[bi_c]                       # (capacity, B)
     wcum = jnp.cumsum((rows != 0).astype(jnp.int32), axis=1)
@@ -205,8 +229,7 @@ def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int, bsums=None):
 
     def extract(cap):
         r = jnp.arange(cap, dtype=jnp.int32)
-        bi = jnp.searchsorted(bpre, r + 1, side="left").astype(jnp.int32)
-        bi_c = jnp.minimum(bi, nb - 1)
+        bi_c = _rank_to_block(bpre, bsum, nb, cap)
         prev = bpre[bi_c] - bsum[bi_c]
         rows_nib = nib.reshape(nb, B)[bi_c]        # (cap, B)
         rows_pc = (
@@ -255,8 +278,6 @@ def _tiered_block_extract(extract, nblk, cap_full: int):
 
     ``extract`` must return identically-shaped pytrees for any cap_b
     (offset buffers are capacity-sized, not cap_b-sized)."""
-    import jax
-
     tiers = [t for t in _BLOCK_TIERS if t < cap_full] + [cap_full]
     if len(tiers) == 1:
         return extract(tiers[0])
@@ -275,8 +296,6 @@ def window_start_mask(windows: jnp.ndarray, pattern: jnp.ndarray):
     the exact-match ground truth for ANY algorithm's match set, which is
     what makes block-sparse reconstruction algorithm-agnostic.
     """
-    import jax
-
     from .naive import UNROLL_LIMIT
 
     B, row_len = windows.shape
@@ -345,8 +364,6 @@ def _screened_count(c_sm, nblk, cap_b: int, nb: int, text, pattern, limit):
     every candidate block was gathered, else the dense slab recount.
     Returns (count, truncated) — truncated means ungathered candidate
     blocks may hide matches from the offset buffer."""
-    import jax
-
     if cap_b >= nb:
         return c_sm, jnp.bool_(False)
     count = jax.lax.cond(
@@ -413,8 +430,6 @@ def _dense_block_count(text: jnp.ndarray, pattern: jnp.ndarray, nb: int,
     when candidate blocks outnumber the gather capacity.  O(N*m) compute
     but O(slab) memory; compiled into a cond branch that executes only on
     adversarial (hash-collision-dense) inputs."""
-    import jax
-
     L = BLOCK_BYTES
     m = pattern.shape[0]
     SLAB = 4096

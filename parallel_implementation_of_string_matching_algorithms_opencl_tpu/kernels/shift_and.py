@@ -111,7 +111,7 @@ def _end_to_start_bsums(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
 
 
 def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
-            emit="nib", W8=0, C=0, Nk=0, pat_bytes=None):
+            emit="nib", W8=0, C=0, Nk=0, pat_bytes=None, path="auto"):
     """x3_ref: (8, G*8, 128) words — sub-chunk s of chunk l at [s, :, l],
     zero-padded past the (W8 + HS) real words.
     emit='nib': out_ref = nibE (8, G*8, 128) int32 — bit b of [s, g, l] =
@@ -171,8 +171,82 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
     # (A batched variant hoisting all 32 B-lookups ahead of the D-chain
     # measured 10.44 ms vs 9.46 ms interleaved at 256 MiB — Mosaic already
     # pipelines the independent gathers; the hoist only added register
-    # pressure.  Keep the interleaved form.)
-    def group(g, D):
+    # pressure.  Keep the interleaved form for the per-byte path.)
+
+    def _ext4(ws, p):
+        """Logical bits p..p+3 of the multiword state as a low nibble."""
+        w, r = divmod(p, 32)
+        v = jax.lax.shift_right_logical(ws[w], r) if r else ws[w]
+        if r >= 29 and w + 1 < len(ws):
+            v |= ws[w + 1] << (32 - r)
+        return v & 0xF
+
+    def group_composed(g, D):
+        # Four automaton steps composed into ONE word-level step:
+        #   D4 = (D<<4 | 15) & AND_b (B[c_b] << (3-b) | ones)
+        # (the AND masks commute past later shifts: (X&B)<<1 ==
+        # (X<<1)&(B<<1)), so the serial dependency chain shrinks from
+        # ~3 ops/byte to ~2 ops/WORD; gathers and the per-byte hit bits
+        # (single-bit extracts of D and the gathered B words) all sit off
+        # the critical path.  Exactness vs the per-byte step is fuzzed in
+        # tests and was verified over m in [5,256] multiword.
+        base = pl.multiple_of(g * 8, 8)
+        blk = x3_ref[:, pl.ds(base, 8), :]  # (8, 8, 128)
+        nibs = []
+        for j in range(8):
+            wv = blk[:, j, :]
+            if compare_b:
+                gs = [
+                    (lookup_compare((wv >> (8 * b)) & 0xFF),)
+                    for b in range(4)
+                ]
+            else:
+                gs = []
+                for b in range(4):
+                    c = (wv >> (8 * b)) & 0xFF
+                    ci = c & 127
+                    is_lo = c < 128
+                    gs.append(
+                        tuple(lookup(k, ci, is_lo) for k in range(K))
+                    )
+            # hit_t for byte b=t-1: bit (m-1) of the t-step state =
+            # bit (m-1-t) of D AND_{j<t} bit (m-t+j) of B[c_j]; gathered
+            # as aligned nibbles (bit k of nib_rev <-> t = 4-k).
+            nr = _ext4(D, m - 5)
+            for b in range(4):
+                F = _ext4(gs[b], m - 4 + b)
+                if b > 0:
+                    F |= (0xF << (4 - b)) & 0xF  # neutral where t <= b
+                nr &= F
+            nib = (
+                ((nr & 1) << 3) | ((nr & 2) << 1)
+                | ((nr & 4) >> 1) | ((nr & 8) >> 3)
+            )
+            newD = []
+            for k in range(K):
+                H = None
+                for b in range(4):
+                    s = 3 - b
+                    if s == 0:
+                        t = gs[b][k]
+                    elif k > 0:
+                        t = (gs[b][k] << s) | jax.lax.shift_right_logical(
+                            gs[b][k - 1], 32 - s
+                        )
+                    else:
+                        t = (gs[b][k] << s) | ((1 << s) - 1)
+                    H = t if H is None else H & t
+                v = D[k] << 4
+                v = v | 15 if k == 0 else v | jax.lax.shift_right_logical(
+                    D[k - 1], 28
+                )
+                newD.append(v & H)
+            D = tuple(newD)
+            nibs.append(nib)
+        nibE_ref[:, pl.ds(base, 8), :] = jnp.stack(nibs, axis=1)
+        return D
+
+    def group_perbyte(g, D):
         base = pl.multiple_of(g * 8, 8)
         blk = x3_ref[:, pl.ds(base, 8), :]  # (8, 8, 128)
         nibs = []
@@ -200,6 +274,13 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
         nibE_ref[:, pl.ds(base, 8), :] = jnp.stack(nibs, axis=1)
         return D
 
+    # Measured (TPU v5e, 256 MiB, interleaved A/B): composed-4 LOSES at
+    # every K — 10.53 vs 9.38 ms (m=16), 11.33 vs 9.68 (m=32), 15.91 vs
+    # 15.65 (m=64).  Mosaic pipelines the 3-op/byte dependency chain
+    # already; the composed form's extra per-byte hit-extraction vector
+    # ops cost more than the shortened chain saves.  Default: per-byte.
+    group = group_composed if path == "composed" and m >= 5 else group_perbyte
+
     jax.lax.fori_loop(
         0, G, group, tuple(jnp.zeros((8, 128), jnp.int32) for _ in range(K))
     )
@@ -207,9 +288,16 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
         _end_to_start_bsums(n_ref, nibE_ref, out_ref, m=m, W8=W8, C=C, Nk=Nk)
 
 
+# Step-path override for A/B measurement: "auto" (= per-byte; measured
+# faster at every K), "perbyte", or "composed" (the 4-steps-in-one
+# word-level form — kept as a measured negative, see _kernel).
+STEP_PATH = "auto"
+
+
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, interpret: bool,
-                emit: str = "nib", pat_key: bytes | None = None):
+                emit: str = "nib", pat_key: bytes | None = None,
+                path: str = "auto"):
     W8 = C // 32  # words per sub-chunk
     HS = max(1, -(-(m - 1) // 4))
     G = -(-(W8 + HS) // 8)
@@ -242,7 +330,8 @@ def _build_call(Nk: int, C: int, m: int, interpret: bool,
     )
     kern = functools.partial(_kernel, G=G, m=m, K=K, emit=emit, W8=W8, C=C,
                              Nk=Nk,
-                             pat_bytes=(tuple(pat_key) if pat_key else None))
+                             pat_bytes=(tuple(pat_key) if pat_key else None),
+                             path=path)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -322,7 +411,8 @@ def kmp_nib(text_u8, n, bt, m, *,
     else:
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)
-    call = _build_call(Nk, C, m, interpret, pat_key=pat_key)
+    call = _build_call(Nk, C, m, interpret, pat_key=pat_key,
+                       path=STEP_PATH)
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
     return end_nibble3_to_start_nib(nibE, C // 8, m), cut
@@ -356,7 +446,7 @@ def kmp_bsums(text_u8, n, bt, m, *,
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)
     call = _build_call(Nk, C, m, interpret, emit="bsums",
-                       pat_key=pat_key)
+                       pat_key=pat_key, path=STEP_PATH)
     bs = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)  # (8, nbs, L)
     # Global 512B-block order: block [s, jb, l] covers byte
     # l*C + s*(C/8) + jb*512  ->  lane-major, then sub-chunk, then jb.

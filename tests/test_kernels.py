@@ -140,7 +140,15 @@ def test_b_table():
 
 
 @pytest.mark.parametrize(
-    "pat", [b"t", b"the", b"the quick", b"fox jumps over lazy dog and cat "]
+    "pat",
+    [
+        b"t",
+        b"the",
+        b"the ",  # m=4: last per-byte-path length
+        b"the q",  # m=5: first composed-4-path length
+        b"the quick",
+        b"fox jumps over lazy dog and cat ",
+    ],
 )
 def test_shift_and_kernel_exact(pat):
     assert len(pat) <= 32
@@ -192,6 +200,35 @@ def test_shift_and_multiword(m):
     expected = find_all(text, pat)
     assert len(expected) >= 6
     r = KMPMatcher(pat, CFG).match(text)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected
+
+
+@pytest.mark.parametrize("m", [5, 16, 33, 128])
+def test_shift_and_composed_step_path(m):
+    # The composed-4 step (4 automaton steps algebraically folded into one
+    # word-level step) is a measured TPU negative kept as an opt-in; it
+    # must stay EXACT vs the default per-byte step.  Seam plants exercise
+    # the cross-word (K>1) and cross-group carry paths.
+    import parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels.shift_and as sa
+
+    C = CFG.pallas_chunk_bytes
+    Cp = C // 8
+    data = bytearray(gen_english(128 * C + 61, seed=33))
+    pat = bytes(data[3000 : 3000 + m])
+    for k, phase in [(3, -m), (9, -1), (17, 0), (33, 1 - m)]:
+        p = k * Cp + phase
+        if 0 <= p <= len(data) - m:
+            data[p : p + m] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert len(expected) >= 4
+    old = sa.STEP_PATH
+    try:
+        sa.STEP_PATH = "composed"
+        r = KMPMatcher(pat, CFG).match(text)
+    finally:
+        sa.STEP_PATH = old
     assert r.count == len(expected)
     assert r.offsets_list() == expected
 

@@ -92,9 +92,10 @@ _BLOCK = 128  # bool-mask extraction block (one vector row)
 
 
 def _rank_to_block(bpre, bsum, nb: int, capacity: int):
-    """int32[capacity]: block id owning each rank (clamped in [0, nb-1];
-    entries past the total count hold the last nonempty block — callers
-    mask on ``r < count``).
+    """int32[capacity]: block id owning each rank, clamped in [0, nb-1].
+    Entries past the total count are ARBITRARY valid block ids (the two
+    lowerings disagree there: last nonempty block vs clamp to nb-1) —
+    callers MUST mask on ``r < count``.
 
     Two lowerings, chosen statically: `searchsorted` binary-searches per
     rank (~0.2-0.6 us/rank on v5e — it was ~80% of the whole rank-select

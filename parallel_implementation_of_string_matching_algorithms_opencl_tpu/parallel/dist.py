@@ -38,8 +38,6 @@ def _assemble_halo(local_text, local_words, halo: int, D: int, axis: str):
     round-1 VERDICT weak #1).  Hops past the last shard contribute zeros
     (ppermute default), which mirror the global zero padding past n and
     are never read by a valid start (p <= n - m)."""
-    import jax as _jax
-
     shard_len = local_text.shape[0]
     halo_b = -(-halo // 4) * 4  # word-aligned so the int32 view composes
     hops = min(-(-halo_b // shard_len), D - 1)
@@ -49,10 +47,10 @@ def _assemble_halo(local_text, local_words, halo: int, D: int, axis: str):
         take = min(shard_len, rem)
         perm_h = [(i, i - h) for i in range(h, D)]
         t_parts.append(
-            _jax.lax.ppermute(local_text[:take], axis, perm=perm_h)
+            jax.lax.ppermute(local_text[:take], axis, perm=perm_h)
         )
         w_parts.append(
-            _jax.lax.ppermute(local_words[: take // 4], axis, perm=perm_h)
+            jax.lax.ppermute(local_words[: take // 4], axis, perm=perm_h)
         )
         rem -= take
     if rem > 0:  # halo longer than all remaining shards

@@ -46,6 +46,16 @@ def initialize_cluster(
     if process_id is None:
         env_pid = os.environ.get("TPUMATCH_PROCESS_ID")
         process_id = int(env_pid) if env_pid is not None else None
+    if num_processes is None and (
+        coordinator_address is not None or process_id is not None
+    ):
+        # A coordinator/process_id without num_processes would silently
+        # stay single-process and return per-host partial results as if
+        # they were global — make the misconfiguration loud instead.
+        raise ValueError(
+            "initialize_cluster: coordinator_address/process_id given "
+            "without num_processes (set it or TPUMATCH_NUM_PROCESSES)"
+        )
     if not _initialized and (num_processes or 1) > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

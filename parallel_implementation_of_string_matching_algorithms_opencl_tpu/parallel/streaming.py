@@ -219,13 +219,15 @@ class StreamingMatcher:
             or man.get("algo") != self.algo
             or man.get("pattern_hex") != self._pattern_hex()
             or "journal_entries" not in man
+            or "overflow" not in man
         ):
             return None
         return man
 
     def _save_manifest(self, path: str, next_chunk: int, counts,
-                       journal_entries):
-        """``counts``/``journal_entries``: int for k==1, list for k>1."""
+                       journal_entries, overflow):
+        """``counts``/``journal_entries``/``overflow``: int/bool for k==1,
+        list for k>1."""
         if not self.manifest_path:
             return
         tmp = self.manifest_path + ".tmp"
@@ -239,6 +241,7 @@ class StreamingMatcher:
                     "next_chunk": next_chunk,
                     "count": counts,
                     "journal_entries": journal_entries,
+                    "overflow": overflow,
                 },
                 f,
             )
@@ -267,6 +270,11 @@ class StreamingMatcher:
                 journal_entries = [
                     int(x) for x in np.atleast_1d(man["journal_entries"])
                 ]
+                # Restore per-pattern overflow state: a resumed run must
+                # not report a truncated journal as complete.
+                overflowed = [
+                    bool(x) for x in np.atleast_1d(man["overflow"])
+                ]
         if use_journal:
             if start_chunk and not all(
                 os.path.exists(self._journal_path_i(i)) for i in range(k)
@@ -274,6 +282,7 @@ class StreamingMatcher:
                 # journal lost: offsets unrecoverable — restart from scratch
                 start_chunk, totals = 0, [0] * k
                 journal_entries = [0] * k
+                overflowed = [False] * k
             for i in range(k):
                 self._journal_reset(
                     journal_entries[i] if start_chunk else 0, i
@@ -297,6 +306,7 @@ class StreamingMatcher:
                 path, p.chunk_idx + 1,
                 totals[0] if k == 1 else totals,
                 journal_entries[0] if k == 1 else journal_entries,
+                overflowed[0] if k == 1 else overflowed,
             )
 
         pending: _Pending | None = None

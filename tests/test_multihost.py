@@ -117,3 +117,16 @@ def test_two_process_multihost_pattern_longer_than_slice(tmp_path):
     results = _run_cluster(tmp_path, text, pat, "boyer_moore")
     for r in results:
         assert r["count"] == 1 and r["offsets"] == [500]
+
+
+def test_initialize_cluster_rejects_partial_topology():
+    # coordinator_address without num_processes used to silently stay
+    # single-process and return per-host partial results as global.
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel import (
+        multihost,
+    )
+
+    with pytest.raises(ValueError, match="num_processes"):
+        multihost.initialize_cluster(
+            coordinator_address="localhost:12345", process_id=0
+        )

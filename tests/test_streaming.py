@@ -96,7 +96,7 @@ def test_stream_resume(corpus, tmp_path):
         total += int(count)
         sm._journal_append(kept)
         entries += len(kept)
-        sm._save_manifest(path, ci + 1, total, entries)
+        sm._save_manifest(path, ci + 1, total, entries, False)
 
     man = json.load(open(manifest))
     assert man["next_chunk"] == 2
@@ -117,6 +117,43 @@ def test_stream_resume(corpus, tmp_path):
     r2 = match_stream(path, b"XSEAMY", algo="kmp", config=CFG,
                       chunk_bytes=CHUNK, manifest_path=manifest, resume=True)
     assert r2.count == len(find_all(data, b"XSEAMY"))
+
+
+def test_stream_resume_preserves_overflow(corpus, tmp_path):
+    # Regression: a resumed run must carry the manifest's per-pattern
+    # overflow flags — chunk 0 overflows its capacity, the run is
+    # interrupted, and the resumed run (whose own chunks don't overflow)
+    # must still report overflow=True rather than a silently-truncated
+    # offset list presented as complete.
+    path, data, pat = corpus
+    dense = tmp_path / "dense.bin"
+    # First chunk: 600 'aa' matches (> capacity 16); rest: no matches.
+    dense.write_bytes(b"a" * 601 + b"x" * (3 * CHUNK - 601))
+    cfg = CFG.replace(capacity=16)
+    manifest = str(tmp_path / "ovf_manifest.json")
+
+    sm = StreamingMatcher(b"aa", algo="naive", config=cfg,
+                          chunk_bytes=CHUNK, manifest_path=manifest)
+    import jax.numpy as jnp
+
+    sm._journal_reset(0)
+    for ci, start, valid_n, buf in sm._iter_chunks(str(dense), 0):
+        count, offsets, ovf = sm._runner(
+            jnp.asarray(buf), jnp.asarray(buf.view(np.int32)),
+            jnp.int32(min(valid_n, CHUNK + sm.m - 1)),
+            sm._pat_dev, sm._tables_dev,
+        )
+        o = np.asarray(offsets)
+        kept = o[o >= 0].astype(np.int64) + start
+        sm._journal_append(kept)
+        assert int(count) == 600 and bool(ovf)
+        sm._save_manifest(str(dense), ci + 1, int(count), len(kept), True)
+        break  # interrupt after chunk 0
+
+    r = match_stream(str(dense), b"aa", algo="naive", config=cfg,
+                     chunk_bytes=CHUNK, manifest_path=manifest, resume=True)
+    assert r.count == 600
+    assert bool(r.overflow), "resume dropped the persisted overflow flag"
 
 
 def test_stream_multi_pattern(corpus, tmp_path):

@@ -168,21 +168,20 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
     )
 
 
-def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
-                     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                     interpret: bool = False, words=None):
-    """(candidate start-nibble int32[Nk/4], cut) from the rolling-hash
-    screen, or (None, 0) below the kernel threshold.
-
-    ``targets``: uint32[k] pattern hashes (ops/tables.rk_hash semantics).
-    Positions >= cut are NOT covered; the caller must handle [cut, N).
-    """
+def _prepare(text_u8, n, targets, m, base: int, chunk_bytes: int, words,
+             need_whole_blocks: bool):
+    """Shared driver setup for both emission modes: kernel-threshold check,
+    word repack, sub-chunk layout with the front pad, int32-wrapped
+    base/B^m constants, and the bitcast hash targets.  Returns None below
+    the kernel threshold, else (x3e, tgt, B_i32, Bm_i32, Nk, cut)."""
     N = text_u8.shape[0]
     C = chunk_bytes
     tile_bytes = 128 * C
     Nk = (N // tile_bytes) * tile_bytes
-    if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES):
-        return None, 0
+    if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES) or (
+        need_whole_blocks and C % 4096 != 0
+    ):
+        return None
     W = C // 4
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W // 8 + HS) // 8) * 8
@@ -199,9 +198,27 @@ def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
     tgt = jax.lax.bitcast_convert_type(
         jnp.asarray(targets, jnp.uint32).reshape(-1), jnp.int32
     )
+    cut = Nk - (m - 1) if m > 1 else Nk
+    return x3e, tgt, B_i32, Bm_i32, Nk, cut
+
+
+def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
+                     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                     interpret: bool = False, words=None):
+    """(candidate start-nibble int32[Nk/4], cut) from the rolling-hash
+    screen, or (None, 0) below the kernel threshold.
+
+    ``targets``: uint32[k] pattern hashes (ops/tables.rk_hash semantics).
+    Positions >= cut are NOT covered; the caller must handle [cut, N).
+    """
+    prep = _prepare(text_u8, n, targets, m, base, chunk_bytes, words,
+                    need_whole_blocks=False)
+    if prep is None:
+        return None, 0
+    x3e, tgt, B_i32, Bm_i32, Nk, cut = prep
+    C = chunk_bytes
     call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret)
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
-    cut = Nk - (m - 1) if m > 1 else Nk
     return end_nibble3_to_start_nib(nibE, C // 8, m), cut
 
 
@@ -213,31 +230,14 @@ def rk_candidate_bsums(text_u8, n, targets, m, base: int, *,
     counts per 512-byte block (validity-clamped); the consumer must verify
     (ops/emit.bsums_to_matches_screened window-compares candidate blocks,
     which both verifies and recounts exactly)."""
-    N = text_u8.shape[0]
-    C = chunk_bytes
-    tile_bytes = 128 * C
-    Nk = (N // tile_bytes) * tile_bytes
-    if Nk < max(tile_bytes, _swar.MIN_KERNEL_BYTES) or C % 4096 != 0:
+    prep = _prepare(text_u8, n, targets, m, base, chunk_bytes, words,
+                    need_whole_blocks=True)
+    if prep is None:
         return None, 0
-    W = C // 4
-    HS = max(1, -(-(m - 1) // 4))
-    G8 = -(-(W // 8 + HS) // 8) * 8
-    L = Nk // C
-    if words is None:
-        words = _swar._as_words(text_u8[:Nk])
-    else:
-        words = words[: Nk // 4]
-    x3e = _layout(words, L, W, HS, G8, front=_delta(m))
-    B = int(base) & 0xFFFFFFFF
-    Bm = pow(B, m, 1 << 32)
-    B_i32 = B - (1 << 32) if B >= (1 << 31) else B
-    Bm_i32 = Bm - (1 << 32) if Bm >= (1 << 31) else Bm
-    tgt = jax.lax.bitcast_convert_type(
-        jnp.asarray(targets, jnp.uint32).reshape(-1), jnp.int32
-    )
+    x3e, tgt, B_i32, Bm_i32, Nk, cut = prep
+    C = chunk_bytes
     call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret,
                        emit="bsums")
     bs = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
     bs_flat = bs.transpose(2, 0, 1).reshape(-1)
-    cut = Nk - (m - 1) if m > 1 else Nk
     return bs_flat, cut

@@ -257,10 +257,35 @@ def _loop_chain(ext_ref, a, W, nw, P_ref, M_ref):
     return jax.lax.fori_loop(1, nw, body, acc0)
 
 
-def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
-                  bs_ref, ext_ref, *, W, C, m, Mnp):
+def _stage_ext(x_ref, h_ref, ext_ref, W):
+    """Stage tile words + halo into the contiguous VMEM scratch and return
+    the staged value (kernels slice lane-shifted views from it)."""
     ext_ref[:, :W] = x_ref[:]
     ext_ref[:, W:] = h_ref[:]
+    return ext_ref[:]
+
+
+def _probe_accs(ext, W, P_ref, M_ref, Mnp, probes):
+    """Per-alignment probe-screen accumulators: accs[a] is bool (128, W),
+    True where ALL of alignment a's probe words match.  The single probe
+    loop behind both the fused screen (ORs accs into a tile-hit flag) and
+    the candidate screen (packs accs into nibble bits)."""
+    out = []
+    for a in range(4):
+        acc = None
+        for k in probes[a]:
+            w = ext[:, k : k + W]
+            eq = (w == P_ref[a, k]) if Mnp[a, k] == -1 else (
+                (w & M_ref[a, k]) == P_ref[a, k]
+            )
+            acc = eq if acc is None else (acc & eq)
+        out.append(acc)
+    return out
+
+
+def _verify_nib(ext_ref, W, P_ref, M_ref, Mnp):
+    """Full verify: the 4-alignment AND-chain compare packed as a nibble
+    plane (static unroll below STATIC_NW pattern words, fori_loop above)."""
     nw = Mnp.shape[1]
     nib = jnp.zeros((128, W), jnp.int32)
     for a in range(4):
@@ -269,18 +294,21 @@ def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
         else:
             acc = _loop_chain(ext_ref, a, W, nw, P_ref, M_ref)
         nib |= acc.astype(jnp.int32) << a
+    return nib
 
+
+def _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m):
+    """Shared tile epilogue: clamp validity on the tail tile, emit the
+    per-512B block sums, accumulate the global count.  One implementation
+    for all four kernels — a validity or block-sum fix here cannot drift
+    per mode."""
     i = pl.program_id(0)
     tile_last = (i + 1) * (128 * C) - 1
     nlim = n_ref[0] - m
 
     @pl.when(tile_last > nlim)
     def _():
-        nib_ref[:] = _validity_nibble(nib, nlim, i, W, C)
-
-    @pl.when(tile_last <= nlim)
-    def _():
-        nib_ref[:] = nib
+        nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
 
     bs = _block_sums(nib_ref[:], W)
     bs_ref[...] = bs
@@ -290,6 +318,13 @@ def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
         cnt_ref[0, 0] = 0
 
     cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
+
+
+def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
+                  bs_ref, ext_ref, *, W, C, m, Mnp):
+    _stage_ext(x_ref, h_ref, ext_ref, W)
+    nib_ref[:] = _verify_nib(ext_ref, W, P_ref, M_ref, Mnp)
+    _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
 
 
 def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
@@ -306,55 +341,16 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     (``_screen_cand_kernel`` + window-compare reconstruction outside);
     this fused kernel remains for nib emission and bm_screen='fused'.
     """
-    ext_ref[:, :W] = x_ref[:]
-    ext_ref[:, W:] = h_ref[:]
-    ext = ext_ref[:]
-
-    # Screen: the probe words per alignment over the whole tile
-    # (vectorized); a position survives only if ALL its alignment's probes
-    # match, and the tile screen is the OR across alignments.
-    scr = None
-    for a in range(4):
-        acc = None
-        for k in probes[a]:
-            w = ext[:, k : k + W]
-            eq = (w == P_ref[a, k]) if Mnp[a, k] == -1 else (
-                (w & M_ref[a, k]) == P_ref[a, k]
-            )
-            acc = eq if acc is None else (acc & eq)
-        scr = acc if scr is None else (scr | acc)
-    hit = jnp.any(scr)
+    ext = _stage_ext(x_ref, h_ref, ext_ref, W)
+    accs = _probe_accs(ext, W, P_ref, M_ref, Mnp, probes)
+    hit = jnp.any((accs[0] | accs[1]) | (accs[2] | accs[3]))
     nib_ref[:] = jnp.zeros((128, W), jnp.int32)
-
-    nw = Mnp.shape[1]
 
     @pl.when(hit)
     def _():
-        nib = jnp.zeros((128, W), jnp.int32)
-        for a in range(4):
-            if nw <= STATIC_NW:
-                acc = _compare_chain(ext_ref[:], a, W, P_ref, M_ref, Mnp)
-            else:
-                acc = _loop_chain(ext_ref, a, W, nw, P_ref, M_ref)
-            nib |= acc.astype(jnp.int32) << a
-        nib_ref[:] = nib
+        nib_ref[:] = _verify_nib(ext_ref, W, P_ref, M_ref, Mnp)
 
-    i = pl.program_id(0)
-    tile_last = (i + 1) * (128 * C) - 1
-    nlim = n_ref[0] - m
-
-    @pl.when(tile_last > nlim)
-    def _():
-        nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
-
-    bs = _block_sums(nib_ref[:], W)
-    bs_ref[...] = bs
-
-    @pl.when(i == 0)
-    def _():
-        cnt_ref[0, 0] = 0
-
-    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
+    _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
 
 
 def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
@@ -368,37 +364,13 @@ def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     sparse reconstruction (ops/emit.bsums_to_matches_screened — the same
     candidates-are-a-superset contract as the Rabin-Karp hash screen,
     including the exact recount and the overflow/truncation flag)."""
-    ext_ref[:, :W] = x_ref[:]
-    ext_ref[:, W:] = h_ref[:]
-    ext = ext_ref[:]
+    ext = _stage_ext(x_ref, h_ref, ext_ref, W)
+    accs = _probe_accs(ext, W, P_ref, M_ref, Mnp, probes)
     nib = jnp.zeros((128, W), jnp.int32)
     for a in range(4):
-        acc = None
-        for k in probes[a]:
-            w = ext[:, k : k + W]
-            eq = (w == P_ref[a, k]) if Mnp[a, k] == -1 else (
-                (w & M_ref[a, k]) == P_ref[a, k]
-            )
-            acc = eq if acc is None else (acc & eq)
-        nib |= acc.astype(jnp.int32) << a
+        nib |= accs[a].astype(jnp.int32) << a
     nib_ref[:] = nib
-
-    i = pl.program_id(0)
-    tile_last = (i + 1) * (128 * C) - 1
-    nlim = n_ref[0] - m
-
-    @pl.when(tile_last > nlim)
-    def _():
-        nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
-
-    bs = _block_sums(nib_ref[:], W)
-    bs_ref[...] = bs
-
-    @pl.when(i == 0)
-    def _():
-        cnt_ref[0, 0] = 0
-
-    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
+    _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
 
 
 def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, h_ref, cnt_ref,
@@ -409,9 +381,7 @@ def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, h_ref, cnt_ref,
     scored rarity selection).  The probe view comes from a dynamic rotate
     (tpu.dynamic_rotate) since the index is not a compile-time constant;
     same-length patterns share one executable."""
-    ext_ref[:, :W] = x_ref[:]
-    ext_ref[:, W:] = h_ref[:]
-    ext = ext_ref[:]
+    ext = _stage_ext(x_ref, h_ref, ext_ref, W)
     size = ext.shape[1]
 
     scr = None
@@ -428,35 +398,11 @@ def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, h_ref, cnt_ref,
     hit = jnp.any(scr)
     nib_ref[:] = jnp.zeros((128, W), jnp.int32)
 
-    nw = Mnp.shape[1]
-
     @pl.when(hit)
     def _():
-        nib = jnp.zeros((128, W), jnp.int32)
-        for a in range(4):
-            if nw <= STATIC_NW:
-                acc = _compare_chain(ext_ref[:], a, W, P_ref, M_ref, Mnp)
-            else:
-                acc = _loop_chain(ext_ref, a, W, nw, P_ref, M_ref)
-            nib |= acc.astype(jnp.int32) << a
-        nib_ref[:] = nib
+        nib_ref[:] = _verify_nib(ext_ref, W, P_ref, M_ref, Mnp)
 
-    i = pl.program_id(0)
-    tile_last = (i + 1) * (128 * C) - 1
-    nlim = n_ref[0] - m
-
-    @pl.when(tile_last > nlim)
-    def _():
-        nib_ref[:] = _validity_nibble(nib_ref[:], nlim, i, W, C)
-
-    bs = _block_sums(nib_ref[:], W)
-    bs_ref[...] = bs
-
-    @pl.when(i == 0)
-    def _():
-        cnt_ref[0, 0] = 0
-
-    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
+    _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
 
 
 # ---------------------------------------------------------------------------

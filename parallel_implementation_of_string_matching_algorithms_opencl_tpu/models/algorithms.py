@@ -87,11 +87,13 @@ class NaiveMatcher(Matcher):
 class RabinKarpMatcher(Matcher):
     """Wrapping-mod-2**32 polynomial hash screen + exact verify (SURVEY.md R2).
 
-    TPU execution: hash-plane SWAR Pallas kernel — the window hash is
-    computed densely from word-extracted byte planes and screens the same
-    predicated verify loop as the Boyer-Moore kernel (kernels/swar.py
-    ``_rk_kernel``).  The jnp shift-chain hash serves CPU/small inputs and
-    the multi-pattern shared-hash path (models/multi.py).
+    TPU execution: the rolling-hash Pallas kernel (kernels/rk_roll.py) —
+    a true O(1)/byte roll with the departing byte read at a static lag
+    through a front pad, emitting candidate nibbles/block-sums that the
+    window-compare sparse reconstruction verifies exactly
+    (ops/emit.bsums_to_matches_screened).  The jnp shift-chain hash serves
+    CPU/small inputs and the multi-pattern shared-hash path
+    (models/multi.py).
     """
 
     name = "rabin_karp"
@@ -365,14 +367,22 @@ class BoyerMooreMatcher(Matcher):
         # them as runtime scalars.
         # Logical n, not padded N — see NaiveMatcher._direct.
         sparse = config.emission == "sparse"
-        screen_only = sparse and config.bm_screen == "cand"
+        # The candidate-screen kernel takes its probes as compile-time
+        # constants; bm_probes='table_dyn' exists precisely to avoid
+        # per-pattern executables, so honoring it means the FUSED dynamic
+        # kernel — silently dropping the user's probe choice (and running
+        # unscored positional probes) would be worse than the fused cost.
+        screen_only = (
+            sparse and config.bm_screen == "cand"
+            and config.bm_probes != "table_dyn"
+        )
         nib, bsums, cut = swar.screened_nib(
             text, n, tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
             interpret=config.interpret, words=words,
             probe_idx=(
                 tables_["swar_pr"] if config.bm_probes == "table_dyn"
-                and not screen_only else None
+                else None
             ),
             static_probes=(
                 config.bm_probe_layout if config.bm_probes == "table"

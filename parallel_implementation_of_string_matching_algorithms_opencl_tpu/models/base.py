@@ -20,14 +20,27 @@ from ..utils.config import DEFAULT_CONFIG, MatchConfig
 from ..utils.io import as_byte_array, pad_to_multiple
 
 
+def valid_prefix(off: np.ndarray) -> np.ndarray:
+    """Ascending valid prefix of a FILL-padded offset buffer: stop at the
+    first hole (negative entry).  A truncated screened gather can leave
+    holes MID-buffer (ungathered candidate blocks whose matches are
+    missing), and any entry after a hole may be preceded by missed
+    matches — trimming at the first hole keeps ``offsets`` a true prefix
+    of the global ascending match set."""
+    bad = np.nonzero(off < 0)[0]
+    return off[: bad[0]] if bad.size else off
+
+
 @dataclasses.dataclass
 class MatchResult:
     """Host-facing result: exact count and sorted 0-based byte offsets.
 
-    ``offsets`` is trimmed to the real matches (overlapping occurrences
-    included).  If ``overflow`` is True the offset buffer capacity was
-    exceeded: ``count`` is still exact but ``offsets`` holds only the first
-    ``capacity`` offsets.
+    ``offsets`` is an ascending PREFIX of the real match set (overlapping
+    occurrences included).  If ``overflow`` is True the prefix is
+    incomplete — ``count`` is still exact but ``offsets`` holds only the
+    first ``len(offsets)`` matches (at most ``capacity``; possibly fewer
+    when a screened candidate gather truncated).  ``match_all`` /
+    ``drain=True`` recovers every offset.
     """
 
     algo: str
@@ -222,11 +235,12 @@ class Matcher:
         )
         count = int(count)
         kept = min(count, self.config.capacity)
+        offs = valid_prefix(np.asarray(offsets)[:kept])
         return MatchResult(
             algo=self.name,
             pattern=self.pattern_bytes,
             n=n,
             count=count,
-            offsets=np.asarray(offsets)[:kept],
-            overflow=bool(overflow),
+            offsets=offs,
+            overflow=bool(overflow) or len(offs) < count,
         )

@@ -17,7 +17,7 @@ from ..ops import rabin_karp as rk_ops
 from ..ops import tables
 from ..utils.config import DEFAULT_CONFIG, MatchConfig
 from ..utils.io import as_byte_array, pad_to_multiple
-from .base import MatchResult
+from .base import MatchResult, valid_prefix
 
 
 class RabinKarpMultiMatcher:
@@ -189,14 +189,15 @@ class RabinKarpMultiMatcher:
         for p in range(self.k):
             c = int(counts[p])
             kept = min(c, self.config.capacity)
+            offs = valid_prefix(offsets[p][:kept])
             out.append(
                 MatchResult(
                     algo=self.name,
                     pattern=self.patterns[p],
                     n=n,
                     count=c,
-                    offsets=offsets[p][:kept],
-                    overflow=bool(overflows[p]),
+                    offsets=offs,
+                    overflow=bool(overflows[p]) or len(offs) < c,
                 )
             )
         return out

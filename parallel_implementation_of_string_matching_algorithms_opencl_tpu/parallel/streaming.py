@@ -26,7 +26,7 @@ import os
 
 import numpy as np
 
-from ..models.base import MatchResult
+from ..models.base import MatchResult, valid_prefix
 from ..models.multi import RabinKarpMultiMatcher
 from ..models.registry import get_matcher
 from ..utils.config import DEFAULT_CONFIG, MatchConfig
@@ -294,7 +294,7 @@ class StreamingMatcher:
             for i in range(k):
                 c = int(p.counts[i])
                 offs = np.asarray(p.offsets[i])
-                kept = offs[offs >= 0].astype(np.int64) + p.start
+                kept = valid_prefix(offs).astype(np.int64) + p.start
                 totals[i] += c
                 overflowed[i] |= bool(p.overflows[i]) or (c > len(kept))
                 if use_journal:

@@ -64,6 +64,16 @@ class MatchConfig:
     # Rabin-Karp base override (odd uint32); None = ops.tables.RK_BASE.
     rk_base: int | None = None
 
+    def __post_init__(self):
+        # The matchers view the padded text as int32 words; a pad target
+        # that is not word-aligned would make that view raise deep inside
+        # match().  Fail loudly at construction instead.
+        if self.pad_multiple < 4 or self.pad_multiple % 4:
+            raise ValueError(
+                f"pad_multiple must be a positive multiple of 4 "
+                f"(int32 word view), got {self.pad_multiple}"
+            )
+
     def replace(self, **kw) -> "MatchConfig":
         return dataclasses.replace(self, **kw)
 

@@ -27,7 +27,10 @@ def as_byte_array(data) -> np.ndarray:
     if isinstance(data, np.ndarray):
         if data.dtype != np.uint8:
             raise TypeError(f"expected uint8 array, got {data.dtype}")
-        return data
+        # The matchers reinterpret the buffer as int32 words
+        # (padded.view(np.int32)); a non-contiguous user array would make
+        # that view raise, so normalize here (no copy when already flat).
+        return np.ascontiguousarray(data)
     if isinstance(data, str):
         data = data.encode("utf-8")
     if isinstance(data, (bytes, bytearray, memoryview)):

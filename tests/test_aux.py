@@ -142,3 +142,46 @@ def test_cli_emission_probe_drain_flags(corpus_file):
     expected = [i for i in range(len(text)) if text[i:i + 1] == b"e"]
     assert row["count"] == len(expected)
     assert row["offsets"] == expected  # all of them, past capacity
+
+
+def test_config_rejects_unaligned_pad_multiple():
+    import pytest as _pytest
+
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+        MatchConfig,
+    )
+
+    for bad in (0, 2, 6, -4):
+        with _pytest.raises(ValueError, match="pad_multiple"):
+            MatchConfig(pad_multiple=bad)
+    MatchConfig(pad_multiple=4)  # minimal aligned value is fine
+
+
+def test_match_accepts_noncontiguous_uint8_view():
+    import numpy as _np
+
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu import match
+    from conformance.oracle import find_all as _find_all
+
+    base = _np.zeros((2048, 2), _np.uint8)
+    base[:, 0] = _np.frombuffer(
+        b"xy" * 512 + b"NEEDLE" + b"zw" * 509, _np.uint8
+    )
+    col = base[:, 0]  # non-contiguous view: used to crash on .view(int32)
+    expected = _find_all(col.tobytes(), b"NEEDLE")
+    r = match(col, b"NEEDLE", algo="naive")
+    assert r.count == len(expected) and r.offsets_list() == expected
+
+
+def test_valid_prefix_trims_at_first_hole():
+    import numpy as _np
+
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.base import (
+        valid_prefix,
+    )
+
+    o = _np.array([3, 7, -1, 12, 15], _np.int64)
+    assert valid_prefix(o).tolist() == [3, 7]
+    o2 = _np.array([3, 7, 9], _np.int64)
+    assert valid_prefix(o2).tolist() == [3, 7, 9]
+    assert valid_prefix(_np.array([], _np.int64)).tolist() == []

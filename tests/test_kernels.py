@@ -352,6 +352,25 @@ def test_bm_table_vs_static_probes_parity():
         assert r_tab.offsets_list() == r_sta.offsets_list() == expected
 
 
+def test_bm_table_dyn_probes_sparse_exact():
+    # Regression: bm_probes='table_dyn' under the default sparse/cand
+    # config used to be silently inert (the cand kernel takes compile-time
+    # probes); it now routes to the fused dynamic kernel and must stay
+    # exact end-to-end.
+    C = CFG.pallas_chunk_bytes
+    data = bytearray(gen_english(128 * C + 31, seed=41))
+    patb = b"dynamic probing!"
+    data[5555 : 5555 + len(patb)] = patb
+    text = bytes(data)
+    expected = find_all(text, patb)
+    assert expected
+    cfg = CFG.replace(emission="sparse", bm_screen="cand",
+                      bm_probes="table_dyn")
+    r = BoyerMooreMatcher(patb, cfg).match(text)
+    assert r.count == len(expected)
+    assert r.offsets_list() == expected
+
+
 def test_sparse_emission_dense_tier_crossing():
     # Dense-match corpora drive the count-tiered rank-select through its
     # full-capacity branch (count >> _SMALL_CAP) and the block gather

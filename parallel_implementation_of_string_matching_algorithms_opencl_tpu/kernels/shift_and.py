@@ -124,7 +124,11 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
 
     For m <= 16 the whole B entry fits 16 bits, so the two halves pack
     into one word (lo | hi<<16) and each byte costs ONE dynamic_gather
-    instead of two — gathers dominate this kernel's step."""
+    instead of two.  (Measured per-gather cost is modest — m=16's one
+    gather vs m=32's two differ by only ~0.3 ms of 9.4 at 256 MiB; the
+    step is bound by total VPU op throughput across the whole
+    gather+shift+AND+hit-extract chain, which is why both the compare-B
+    and composed-4 alternatives below measured as losses.)"""
     nibE_ref = scratch[0] if emit == "bsums" else out_ref
     hi_bit = (m - 1) % 32
     compare_b = pat_bytes is not None and K == 1
@@ -136,10 +140,12 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
     if compare_b:
         # B[c] from static compares instead of a dynamic_gather: one VPU
         # compare per DISTINCT pattern byte (<= m <= 32), each OR-ing in
-        # that value's precomputed bit mask.  Gathers dominate this
-        # kernel's step, so trading one gather for ~m cheap vector ops
-        # wins for short patterns (specializes the executable per
-        # pattern, like the BM probe constants; persisted cache).
+        # that value's precomputed bit mask.  MEASURED NEGATIVE on v5e
+        # (10.93 ms vs 9.46 ms for the gather at 256 MiB, m=16): ~14
+        # compare+select chains cost more than one gather — the step is
+        # VPU-op-throughput bound, not gather bound.  Kept as an opt-in
+        # (pat_key=...) for the record; specializes the executable per
+        # pattern like the BM probe constants (persisted cache).
         val_masks = {}
         for j, cb in enumerate(pat_bytes):
             val_masks[cb] = val_masks.get(cb, 0) | (1 << j)

@@ -117,6 +117,15 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg,
     }
 
 
+def _dump_detail(path: str, dev, results) -> None:
+    with open(path, "w") as f:
+        json.dump(
+            {"device": f"{dev.platform}/{dev.device_kind}",
+             "results": results}, f, indent=2,
+        )
+        f.write("\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=256, help="corpus size in MiB")
@@ -177,12 +186,7 @@ def main():
             file=sys.stderr,
         )
 
-    with open(args.detail_out, "w") as f:
-        json.dump(
-            {"device": f"{dev.platform}/{dev.device_kind}", "results": results},
-            f,
-            indent=2,
-        )
+    _dump_detail(args.detail_out, dev, results)
 
     # The shared box drifts between ~1x and ~5x device-time states on a
     # minutes scale (measured; buffer re-placement does not change it).
@@ -202,11 +206,7 @@ def main():
                     f"{r2['bytes_per_s_per_chip']/1e9:.2f} GB/s",
                     file=sys.stderr,
                 )
-        with open(args.detail_out, "w") as f:
-            json.dump(
-                {"device": f"{dev.platform}/{dev.device_kind}",
-                 "results": results}, f, indent=2,
-            )
+        _dump_detail(args.detail_out, dev, results)
     head = results.get(args.headline) or results[args.algos.split(",")[-1]]
     line = {
         "metric": f"{args.headline} bytes/s/chip ({args.corpus} "

@@ -32,7 +32,11 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg,
     matcher = get_matcher(algo)(pattern, cfg)
     runner = matcher._runner(matcher.config)  # per-pattern specialized
     text_dev = jax.device_put(jnp.asarray(text_np))
-    words_dev = jax.device_put(jnp.asarray(text_np.view(np.int32)))
+    # Pre-shaped (N/4096, 1024) word view: zero-copy on the host, saves the
+    # kernels/reconstruction an in-jit relayout (kernels/swar.py docstring).
+    words_dev = jax.device_put(
+        jnp.asarray(text_np.view(np.int32).reshape(-1, 1024))
+    )
     pat_dev = jax.device_put(jnp.asarray(matcher.pattern_arr))
     tables_dev = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a)), matcher.tables)
 
@@ -162,7 +166,10 @@ def main():
     n = args.mb * (1 << 20)
     print(f"generating {args.mb} MiB {args.corpus} corpus ...", file=sys.stderr)
     text = GENERATORS[args.corpus](n, seed=42)
-    text_np = pad_to_multiple(np.frombuffer(text, dtype=np.uint8), 1024)
+    # Tile-multiple padding (2 MiB covers both the 512 KiB SWAR and 2 MiB
+    # sub-chunk-serial tiles): the kernel then owns ~everything and the jnp
+    # tail shrinks to the last m-1 bytes.
+    text_np = pad_to_multiple(np.frombuffer(text, dtype=np.uint8), 2 << 20)
     pattern = args.pattern.encode()
     cfg = MatchConfig()
     if args.emission:

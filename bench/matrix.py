@@ -147,7 +147,10 @@ def _stage(text_np, sharding=None):
         else (lambda a: jax.device_put(jnp.asarray(a)))
     t0 = time.perf_counter()
     text_dev = put(text_np)
-    words_dev = put(text_np.view(np.int32))
+    # Single-device runners take the pre-shaped (N/4096, 1024) view; the
+    # sharded path keeps 1-D words (the shard halo assembly concatenates).
+    wv = text_np.view(np.int32)
+    words_dev = put(wv if sharding else wv.reshape(-1, 1024))
     jax.block_until_ready((text_dev, words_dev))
     return text_dev, words_dev, time.perf_counter() - t0
 

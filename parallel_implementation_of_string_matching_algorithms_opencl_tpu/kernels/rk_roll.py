@@ -188,6 +188,10 @@ def _prepare(text_u8, n, targets, m, base: int, chunk_bytes: int, words,
     L = Nk // C
     if words is None:
         words = _swar._as_words(text_u8[:Nk])
+    elif words.ndim == 2:
+        # pre-shaped (N/4096, 1024) host view: leading-dim slice, then ONE
+        # relayout inside _layout's reshape (same cost as the 1-D path)
+        words = words[: Nk // (4 * words.shape[1])]
     else:
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8, front=_delta(m))

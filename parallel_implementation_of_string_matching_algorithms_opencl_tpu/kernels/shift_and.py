@@ -414,6 +414,10 @@ def kmp_nib(text_u8, n, bt, m, *,
     L = Nk // C
     if words is None:
         words = _swar._as_words(text_u8[:Nk])
+    elif words.ndim == 2:
+        # pre-shaped (N/4096, 1024) host view: leading-dim slice, then ONE
+        # relayout inside _layout's reshape (same cost as the 1-D path)
+        words = words[: Nk // (4 * words.shape[1])]
     else:
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)
@@ -448,6 +452,10 @@ def kmp_bsums(text_u8, n, bt, m, *,
     L = Nk // C
     if words is None:
         words = _swar._as_words(text_u8[:Nk])
+    elif words.ndim == 2:
+        # pre-shaped (N/4096, 1024) host view: leading-dim slice, then ONE
+        # relayout inside _layout's reshape (same cost as the 1-D path)
+        words = words[: Nk // (4 * words.shape[1])]
     else:
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)

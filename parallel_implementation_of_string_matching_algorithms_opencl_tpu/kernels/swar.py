@@ -15,6 +15,14 @@ step processes a (128, W) tile — 128 chunks — plus a (128, HALO_WORDS) halo
 holding the first 512 bytes of each *next* chunk, so matches spanning chunk
 boundaries are found by the owning chunk (supports m <= 509).
 
+Round-3 feed rework: callers ship the int32 word view PRE-SHAPED as
+(N/4096, 1024) — a zero-copy numpy view on the host — because a 1-D->2-D
+``reshape`` inside jit is a full-buffer relayout copy on TPU (measured:
++0.2 ms/256 MiB on the scan, +268 MB temp on the old text.reshape
+reconstruction).  The halo is now assembled IN-KERNEL from a sublane roll
+of the tile plus one (8, HALO_WORDS) block of the next tile, replacing the
+host-side 33 MB halo concat.
+
 Matching per word: for each alignment a in 0..3, a match starting at byte
 4w + a of a chunk satisfies
 
@@ -257,11 +265,20 @@ def _loop_chain(ext_ref, a, W, nw, P_ref, M_ref):
     return jax.lax.fori_loop(1, nw, body, acc0)
 
 
-def _stage_ext(x_ref, h_ref, ext_ref, W):
+def _stage_ext(x_ref, nxt_ref, ext_ref, W):
     """Stage tile words + halo into the contiguous VMEM scratch and return
-    the staged value (kernels slice lane-shifted views from it)."""
-    ext_ref[:, :W] = x_ref[:]
-    ext_ref[:, W:] = h_ref[:]
+    the staged value (kernels slice lane-shifted views from it).
+
+    Halo row r = the first HALO_WORDS words of chunk r+1: rows 0..126 come
+    from a sublane roll of the tile itself (chunks are contiguous text);
+    row 127 reads the NEXT tile's first chunk via the (8, HALO_WORDS)
+    ``nxt`` block (clamped to garbage on the last tile — every position it
+    could affect is >= the kernel coverage cut and validity-masked)."""
+    xv = x_ref[:]
+    ext_ref[:, :W] = xv
+    hal = pltpu.roll(xv, shift=127, axis=0)  # row r <- row r+1
+    ext_ref[:, W:] = hal[:, :HALO_WORDS]
+    ext_ref[pl.ds(127, 1), W:] = nxt_ref[0:1, :]
     return ext_ref[:]
 
 
@@ -320,14 +337,14 @@ def _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m):
     cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
 
 
-def _naive_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
+def _naive_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref, nib_ref,
                   bs_ref, ext_ref, *, W, C, m, Mnp):
-    _stage_ext(x_ref, h_ref, ext_ref, W)
+    _stage_ext(x_ref, nxt_ref, ext_ref, W)
     nib_ref[:] = _verify_nib(ext_ref, W, P_ref, M_ref, Mnp)
     _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
 
 
-def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
+def _screened_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref, nib_ref,
                      bs_ref, ext_ref, *, W, C, m, Mnp, probes):
     """Boyer-Moore FUSED execution: probe screen, then whole-tile skip
     (bm_screen='fused'; also the nib-emission path).
@@ -341,7 +358,7 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     (``_screen_cand_kernel`` + window-compare reconstruction outside);
     this fused kernel remains for nib emission and bm_screen='fused'.
     """
-    ext = _stage_ext(x_ref, h_ref, ext_ref, W)
+    ext = _stage_ext(x_ref, nxt_ref, ext_ref, W)
     accs = _probe_accs(ext, W, P_ref, M_ref, Mnp, probes)
     hit = jnp.any((accs[0] | accs[1]) | (accs[2] | accs[3]))
     nib_ref[:] = jnp.zeros((128, W), jnp.int32)
@@ -353,7 +370,7 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
 
 
-def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
+def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref, nib_ref,
                         bs_ref, ext_ref, *, W, C, m, Mnp, probes):
     """Boyer-Moore CANDIDATE screen: the probe compares alone, emitted as
     candidate nibbles/block-sums — no in-kernel verify, no per-tile
@@ -364,7 +381,7 @@ def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     sparse reconstruction (ops/emit.bsums_to_matches_screened — the same
     candidates-are-a-superset contract as the Rabin-Karp hash screen,
     including the exact recount and the overflow/truncation flag)."""
-    ext = _stage_ext(x_ref, h_ref, ext_ref, W)
+    ext = _stage_ext(x_ref, nxt_ref, ext_ref, W)
     accs = _probe_accs(ext, W, P_ref, M_ref, Mnp, probes)
     nib = jnp.zeros((128, W), jnp.int32)
     for a in range(4):
@@ -373,7 +390,7 @@ def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, h_ref, cnt_ref, nib_ref,
     _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
 
 
-def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, h_ref, cnt_ref,
+def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, nxt_ref, cnt_ref,
                          nib_ref, bs_ref, ext_ref, *, W, C, m, Mnp):
     """Boyer-Moore execution with TABLE-DRIVEN probes: identical skip
     structure to ``_screened_kernel``, but the probe word indices arrive as
@@ -381,7 +398,7 @@ def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, h_ref, cnt_ref,
     scored rarity selection).  The probe view comes from a dynamic rotate
     (tpu.dynamic_rotate) since the index is not a compile-time constant;
     same-length patterns share one executable."""
-    ext = _stage_ext(x_ref, h_ref, ext_ref, W)
+    ext = _stage_ext(x_ref, nxt_ref, ext_ref, W)
     size = ext.shape[1]
 
     scr = None
@@ -433,12 +450,19 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
     nib_spec = pl.BlockSpec((128, W), idx, memory_space=pltpu.VMEM)
     bs_spec = pl.BlockSpec((max(W // 128, 8), 128), idx,
                            memory_space=pltpu.VMEM)
+    # x: one (128, W) tile per grid step; nxt: the NEXT tile's first 8 rows,
+    # first HALO_WORDS columns (8-row block index = (i+1)*128/8, clamped on
+    # the final tile — garbage there is validity-masked, see _stage_ext).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalars,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((128, W), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, HALO_WORDS), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, HALO_WORDS),
+                lambda i, *s: (jnp.minimum(i * 16 + 16, L // 8 - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
             (pl.BlockSpec(memory_space=pltpu.SMEM), nib_spec, bs_spec)
@@ -525,6 +549,22 @@ def nibble_to_bool(nib: jnp.ndarray) -> jnp.ndarray:
     return bits.astype(jnp.bool_).reshape(-1)
 
 
+def as_words2d(text_u8, words, Nk: int, C: int):
+    """(L, W) int32 chunk-row view of the first Nk bytes.
+
+    ``words`` pre-shaped (R, C/4) (the host's zero-copy view): a leading-dim
+    slice, NO relayout.  1-D words / None: reshaped (a relayout copy inside
+    jit — the distributed shard path, where the halo-extended shard cannot
+    be a host view)."""
+    W = C // 4
+    L = Nk // C
+    if words is None:
+        return _as_words(text_u8[:Nk]).reshape(L, W)
+    if words.ndim == 2 and words.shape[1] == W:
+        return words[:L]
+    return words.reshape(-1)[: Nk // 4].reshape(L, W)
+
+
 def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
          interpret: bool, words=None, probe_idx=None, static_probes=None,
          emit_nib=True):
@@ -534,7 +574,8 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     (int32[4, 2], screened_dyn mode): runtime probe-word indices.
     ``emit_nib=False``: bsums-only kernel — the nibble element of the
     result is None and offsets must be reconstructed sparsely from the
-    block sums (ops/emit.bsums_to_matches)."""
+    block sums (ops/emit).  ``words``: the int32 view of the text buffer,
+    preferably pre-shaped (N/4096, 1024) (see as_words2d)."""
     N = text_u8.shape[0]
     # Full-tile compare chains spill ~17MB of scoped VMEM at C=8192
     # (measured); a 4 KiB chunk keeps them ~8MB with ~4% slower scans.
@@ -550,16 +591,7 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     if Nk < max(tile_bytes, MIN_KERNEL_BYTES):
         return None, None, 0
 
-    if words is None:
-        words = _as_words(text_u8[:Nk])  # device repack: ~60ms/256MB on TPU
-    else:
-        words = words[: Nk // 4]  # host-viewed int32 of the same buffer
-    W = C // 4
-    L = Nk // C
-    x = words.reshape(L, W)
-    h = jnp.concatenate(
-        [x[1:, :HALO_WORDS], jnp.zeros((1, HALO_WORDS), jnp.int32)], axis=0
-    )
+    x = as_words2d(text_u8, words, Nk, C)
     call = _build_call(Nk, C, m, nw, mode,
                        Mnp.tobytes(), probes, interpret, emit_nib)
     # Clamp the kernel's validity to its own coverage: positions past
@@ -569,15 +601,17 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
     n_k = jnp.minimum(jnp.asarray(n, jnp.int32), jnp.int32(Nk))
     if mode == "screened_dyn":
         out = call(
-            n_k.reshape(1), P, M, jnp.asarray(probe_idx, jnp.int32), x, h
+            n_k.reshape(1), P, M, jnp.asarray(probe_idx, jnp.int32), x, x
         )
     else:
-        out = call(n_k.reshape(1), P, M, x, h)
+        out = call(n_k.reshape(1), P, M, x, x)
     if emit_nib:
         _, nib, bs = out
     else:
         (_, bs), nib = out, None
     cut = Nk - (m - 1) if m > 1 else Nk
+    W = C // 4
+    L = Nk // C
     nt = L // 128
     jblk = W // 128
     jpad = max(jblk, 8)
@@ -586,7 +620,10 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
         .transpose(0, 2, 1)
         .reshape(-1)
     )  # global block g = (tile*128 + r)*jblk + j
-    return (nib.reshape(-1) if nib is not None else None), bs_flat, cut
+    # nib stays (L, W): flatten ONLY when the consumer needs word order
+    # (nibble_to_matches); the dense extractor reshapes to (NB, 128) rows
+    # directly, which from 2-D is one relayout instead of two.
+    return nib, bs_flat, cut
 
 
 def naive_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,

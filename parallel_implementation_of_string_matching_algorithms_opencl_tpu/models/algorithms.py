@@ -8,6 +8,7 @@ benchmarked separately (BASELINE.json:2 "bytes/s/chip per algorithm").
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import rk_roll, shift_and, swar
@@ -15,6 +16,7 @@ from ..ops import boyer_moore as bm_ops
 from ..ops import kmp as kmp_ops
 from ..ops import naive as naive_ops
 from ..ops import rabin_karp as rk_ops
+from ..ops import reconstruct
 from ..ops import tables
 from ..utils.config import MatchConfig
 from .base import Matcher
@@ -66,17 +68,25 @@ class NaiveMatcher(Matcher):
         # both the nibble mask and the block sums, which emission trusts
         # verbatim when bsums are supplied.  Padded-N here let NUL-suffixed
         # patterns falsely match inside the zero-padding tail.
+        x2d = reconstruct.full_words2d(text, words)
         nib, bsums, cut = swar.naive_nib(
             text, n, tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret, words=words,
+            interpret=config.interpret, words=x2d,
             emit_nib=config.emission != "sparse",
         )
         if cut == 0:
             return None
         tail = naive_ops.naive_start_mask(text[cut:], pattern)
-        return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums,
-                                   text=text, pattern=pattern)
+        if nib is None:
+            limit_k = jnp.minimum(n - m, cut - 1)
+            c1, o1, v1 = reconstruct.extract_region(
+                bsums, x2d, text, n, tables_["swar_p"], m, limit_k,
+                config.capacity, config,
+            )
+            return cls._merge_tail(c1, o1, v1, cut, n, m, tail, config)
+        return cls._merge_nib_tail(nib.reshape(-1), cut, n, m, tail, config,
+                                   bsums=bsums)
 
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):
@@ -97,6 +107,13 @@ class RabinKarpMatcher(Matcher):
     """
 
     name = "rabin_karp"
+
+    @classmethod
+    def _tile_bytes(cls, config: MatchConfig) -> int:
+        # The sub-chunk-serial kernels use the full configured chunk
+        # (16384 default -> 2 MiB tiles), unlike the SWAR kernels' 4096
+        # clamp.
+        return 128 * config.pallas_chunk_bytes
 
     def _precompute(self, pat: np.ndarray) -> dict:
         c = tables.rk_constants(len(pat), self.config.rk_base)
@@ -182,20 +199,22 @@ class RabinKarpMatcher(Matcher):
 
         base = config.rk_base if config.rk_base is not None else int(_t.RK_BASE)
         bsums = None
+        x2d = reconstruct.full_words2d(text, words)
         if config.emission == "sparse":
             # Bsums-only screen: candidate counts per 512B block; the
-            # window-compare sparse reconstruction verifies AND recounts
+            # word-space sparse reconstruction verifies AND recounts
             # (hash hits are not matches, so sum(bs) is untrusted).
             bsums, cut = rk_roll.rk_candidate_bsums(
                 text, n,
                 tables_["pattern_hash"].reshape(1), m, base,
                 chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret, words=words,
+                interpret=config.interpret, words=x2d,
             )
         if bsums is not None:
             limit_k = jnp.minimum(n - m, cut - 1)
-            c1, o1, v1 = _emit.bsums_to_matches_screened(
-                bsums, text, pattern, limit_k, config.capacity
+            c1, o1, v1 = reconstruct.extract_region(
+                bsums, x2d, text, n, tables_["swar_p"], m, limit_k,
+                config.capacity, config,
             )
         else:
             # Sparse needs C % 4096 == 0; odd chunk sizes fall back to the
@@ -204,7 +223,7 @@ class RabinKarpMatcher(Matcher):
                 text, n,
                 tables_["pattern_hash"].reshape(1), m, base,
                 chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret, words=words,
+                interpret=config.interpret, words=x2d,
             )
             if nib is None:
                 return None
@@ -254,8 +273,14 @@ class KMPMatcher(Matcher):
 
     name = "kmp"
 
+    @classmethod
+    def _tile_bytes(cls, config: MatchConfig) -> int:
+        return 128 * config.pallas_chunk_bytes
+
     def _precompute(self, pat: np.ndarray) -> dict:
-        t = {"dfa": tables.kmp_dfa(pat)}
+        # swar_p feeds the word-space sparse reconstruction's verify
+        # (reconstruct.extract_region), not a scan kernel.
+        t = {"dfa": tables.kmp_dfa(pat), **_swar_tables(pat)}
         if shift_and.shift_and_supported(len(pat)):
             t["sa_bt"] = shift_and.b_table(pat)
         return t
@@ -270,14 +295,15 @@ class KMPMatcher(Matcher):
         ):
             return None
         bsums = nib = None
+        x2d = reconstruct.full_words2d(text, words)
         if config.emission == "sparse":
             # Bsums-only scan: the end->start fold and validity live in
-            # VMEM; offsets come back via the window-compare sparse
+            # VMEM; offsets come back via the word-space sparse
             # reconstruction (== the automaton's match set exactly).
             bsums, cut = shift_and.kmp_bsums(
                 text, n, tables_["sa_bt"], m,
                 chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret, words=words,
+                interpret=config.interpret, words=x2d,
             )
         if bsums is None:
             # Sparse needs whole 512B blocks per sub-chunk (C % 4096); odd
@@ -286,15 +312,21 @@ class KMPMatcher(Matcher):
             nib, cut = shift_and.kmp_nib(
                 text, n, tables_["sa_bt"], m,
                 chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret, words=words,
+                interpret=config.interpret, words=x2d,
             )
             if nib is None:
                 return None
         tail = kmp_ops.kmp_start_mask(
             text[cut:], tables_["dfa"], config.kmp_chunk
         )
-        return cls._merge_nib_tail(nib, cut, n, m, tail, config,
-                                   bsums=bsums, text=text, pattern=pattern)
+        if bsums is not None:
+            limit_k = jnp.minimum(n - m, cut - 1)
+            c1, o1, v1 = reconstruct.extract_region(
+                bsums, x2d, text, n, tables_["swar_p"], m, limit_k,
+                config.capacity, config,
+            )
+            return cls._merge_tail(c1, o1, v1, cut, n, m, tail, config)
+        return cls._merge_nib_tail(nib, cut, n, m, tail, config)
 
     @staticmethod
     def _mask(text, pattern, tables_, config: MatchConfig):
@@ -376,10 +408,11 @@ class BoyerMooreMatcher(Matcher):
             sparse and config.bm_screen == "cand"
             and config.bm_probes != "table_dyn"
         )
+        x2d = reconstruct.full_words2d(text, words)
         nib, bsums, cut = swar.screened_nib(
             text, n, tables_["swar_p"], m,
             chunk_bytes=config.pallas_chunk_bytes,
-            interpret=config.interpret, words=words,
+            interpret=config.interpret, words=x2d,
             probe_idx=(
                 tables_["swar_pr"] if config.bm_probes == "table_dyn"
                 else None
@@ -394,18 +427,15 @@ class BoyerMooreMatcher(Matcher):
         if cut == 0:
             return None
         tail = naive_ops.naive_start_mask(text[cut:], pattern)
-        if screen_only:
-            # Candidate sums (the skip heuristic alone ran in-kernel);
-            # the window-compare reconstruction verifies and recounts —
-            # the same superset contract as the Rabin-Karp hash screen.
-            import jax.numpy as jnp
-
-            from ..ops import emit as _emit
-
+        if nib is None:
+            # Candidate or fused-verified block sums; the word-space
+            # reconstruction re-verifies and recounts either way — the
+            # same superset contract as the Rabin-Karp hash screen.
             limit_k = jnp.minimum(n - m, cut - 1)
-            c1, o1, v1 = _emit.bsums_to_matches_screened(
-                bsums, text, pattern, limit_k, config.capacity
+            c1, o1, v1 = reconstruct.extract_region(
+                bsums, x2d, text, n, tables_["swar_p"], m, limit_k,
+                config.capacity, config,
             )
             return cls._merge_tail(c1, o1, v1, cut, n, m, tail, config)
-        return cls._merge_nib_tail(nib, cut, n, m, tail, config, bsums=bsums,
-                                   text=text, pattern=pattern)
+        return cls._merge_nib_tail(nib.reshape(-1), cut, n, m, tail, config,
+                                   bsums=bsums)

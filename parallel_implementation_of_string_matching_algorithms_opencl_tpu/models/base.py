@@ -110,6 +110,10 @@ class Matcher:
         tail mask over [cut, N)."""
         from ..ops import emit as _emit
 
+        if tail_mask.shape[0] == 0:
+            # Tile-multiple padding can make the kernel own everything
+            # (cut == N for m == 1); the tail is then empty by shape.
+            return c1, o1, v1
         tail_valid = _emit.valid_start_mask(tail_mask, n - cut, m)
         c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)
         return _emit.merge_region_matches(
@@ -118,26 +122,19 @@ class Matcher:
 
     @classmethod
     def _merge_nib_tail(cls, nib, cut, n, m, tail_mask, config: MatchConfig,
-                        bsums=None, text=None, pattern=None):
+                        bsums=None):
         """Combine a kernel region [0, cut) with a bool tail mask over
-        [cut, N) into the final (count, offsets, overflow).
-
-        ``bsums``: kernel-computed block popcounts (limit already applied
-        in-kernel).  With ``nib`` they let emission skip its full-mask
-        prepass; with ``nib=None`` (bsums-only kernels) offsets are
-        reconstructed sparsely from ``text``/``pattern`` via
-        emit.bsums_to_matches — no O(N) mask ever exists in HBM."""
+        [cut, N) into the final (count, offsets, overflow).  ``nib`` is the
+        flattened word-order nibble plane (emission='nib' path); ``bsums``
+        (kernel-computed block popcounts, limit already applied in-kernel)
+        let emission skip its full-mask prepass.  The sparse (bsums-only)
+        path goes through ops/reconstruct.extract_region instead."""
         from ..ops import emit as _emit
 
         limit_k = jnp.minimum(n - m, cut - 1)
-        if nib is None:
-            c1, o1, v1 = _emit.bsums_to_matches(
-                bsums, text, pattern, limit_k, config.capacity
-            )
-        else:
-            c1, o1, v1 = _emit.nibble_to_matches(
-                nib, limit_k, config.capacity, bsums=bsums
-            )
+        c1, o1, v1 = _emit.nibble_to_matches(
+            nib, limit_k, config.capacity, bsums=bsums
+        )
         return cls._merge_tail(c1, o1, v1, cut, n, m, tail_mask, config)
 
     # -- execution ----------------------------------------------------------
@@ -222,13 +219,34 @@ class Matcher:
         assert len(offsets) == res.count
         return dataclasses.replace(res, offsets=offsets, overflow=False)
 
+    @classmethod
+    def _tile_bytes(cls, config: MatchConfig) -> int:
+        """Kernel grid-tile size: padding the text to a tile multiple makes
+        the kernel cover (almost) everything and shrinks the jnp-scanned
+        tail to the last m-1 bytes plus padding."""
+        return 128 * min(config.pallas_chunk_bytes, 4096)
+
+    def _pad_target(self, n: int) -> int:
+        """Pad-to multiple for ``match``: always word-row aligned (the
+        (N/4096, 1024) int32 view must exist), tile-aligned once the input
+        is kernel-sized."""
+        from ..kernels import swar as _swar
+
+        tile = self._tile_bytes(self.config) if n >= _swar.MIN_KERNEL_BYTES \
+            else 4096
+        return int(np.lcm(self.config.pad_multiple, tile))
+
     def match(self, data) -> MatchResult:
         arr = as_byte_array(data)
         n = len(arr)
-        padded = pad_to_multiple(arr, self.config.pad_multiple)
+        padded = pad_to_multiple(arr, self._pad_target(n))
         count, offsets, overflow = self._runner(self.config)(
             jnp.asarray(padded),
-            jnp.asarray(padded.view(np.int32)),  # same bytes, zero-copy view
+            # Same bytes as a zero-copy (N/4096, 1024) int32 host view —
+            # pre-shaped so the kernels and the sparse reconstruction never
+            # pay an in-jit 1-D -> 2-D relayout (kernels/swar.py module
+            # docstring, round-3 feed rework).
+            jnp.asarray(padded.view(np.int32).reshape(-1, 1024)),
             jnp.int32(n),
             jnp.asarray(self.pattern_arr),
             self.tables,

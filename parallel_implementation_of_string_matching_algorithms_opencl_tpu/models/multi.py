@@ -174,10 +174,12 @@ class RabinKarpMultiMatcher:
     def match(self, data) -> list[MatchResult]:
         arr = as_byte_array(data)
         n = len(arr)
-        padded = pad_to_multiple(arr, self.config.pad_multiple)
+        padded = pad_to_multiple(
+            arr, int(np.lcm(self.config.pad_multiple, 4096))
+        )
         counts, offsets, overflows = self._runner(self.config, self.k)(
             jnp.asarray(padded),
-            jnp.asarray(padded.view(np.int32)),
+            jnp.asarray(padded.view(np.int32).reshape(-1, 1024)),
             jnp.int32(n),
             jnp.asarray(self.pattern_arr),
             self.tables,

@@ -1,0 +1,194 @@
+"""Sort-based offset extraction primitives (round-3 emission rework).
+
+The round-2 extraction rank-selected offsets with one gathered row per
+output rank; its cost scaled linearly with the extracted count at
+~0.1-0.2 us/rank (take_along_axis minor-dim gathers dominate), which made
+match-dense inputs fall off a cliff (config-3 m=4: 479k matches ran at
+0.3-0.73 GB/s; round-2 VERDICT missing #4).  This module rebuilds
+extraction on primitives whose measured costs (TPU v5e,
+exp/prim_costs.py) are:
+
+- ``jnp.sort``: ~1-1.7 ns/element — the cheapest way to compact a
+  bounded, INF-padded candidate set into ascending order;
+- one-hot compare+multiply+reduce select: ~37x faster than
+  ``take_along_axis`` for minor-dim picks ((256k,128)->T=8: 1.4 ms vs
+  50.9 ms);
+- row gathers: ~12.5 ns/row at scale (fixed ~0.4 ms floor);
+- minor-axis ``cumsum``: SLOW (7.8 ms for (256k,128)) — replaced by an
+  MXU triangular matmul (exact in f32 for row sums < 2**24);
+- scatter: ~4.4 ns/update even with unique sorted indices — avoided on
+  hot paths.
+
+All functions are shape-static and work identically on CPU (the sorts and
+f32 matmuls are backend-agnostic), so the distributed/CPU-mesh paths share
+them.  SURVEY.md §7.3 stage 2 (fixed-capacity emission) / hard part #1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FILL = -1
+# Plain int (NOT jnp.int32): a module-level jax array would initialise the
+# XLA backend at import time, breaking jax.distributed.initialize() in
+# multihost workers.
+INF = 0x7FFFFFFF
+
+
+def sorted_nonzero_ids(flags: jnp.ndarray, cap: int, fill: int):
+    """First ``cap`` indices with ``flags`` nonzero, ascending; ``fill``
+    past the end.  One O(R log R) sort — beats per-rank gathers for every
+    R this framework produces (sort of 64k ids ≈ 0.1 ms)."""
+    R = flags.shape[0]
+    ids = jnp.where(
+        flags != 0, jnp.arange(R, dtype=jnp.int32), INF
+    )
+    ids = jax.lax.sort(ids)[: min(cap, R)]
+    if cap > R:
+        ids = jnp.concatenate([ids, jnp.full((cap - R,), INF, jnp.int32)])
+    return jnp.where(ids == INF, jnp.int32(fill), ids)
+
+
+@functools.lru_cache(maxsize=8)
+def _tri_ones(C: int):
+    return np.triu(np.ones((C, C), np.float32))
+
+
+def minor_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the minor axis of int32[R, C] via an MXU
+    matmul with an upper-triangular ones matrix.  Exact while row sums
+    stay < 2**24 (nibble popcounts top out at 4*C).  ~50x faster than
+    jnp.cumsum(axis=1) on v5e for (256k, 128)."""
+    C = x.shape[1]
+    tri = jnp.asarray(_tri_ones(C))
+    return jnp.dot(
+        x.astype(jnp.float32), tri, precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32)
+
+
+def onehot_select(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x[r, idx[r]] per row without a gather: compare+multiply+reduce
+    against an iota (take_along_axis lowers to a ~25 ns/element gather on
+    TPU; this is pure VPU work).  x int32[R, C], idx int32[R] in [0, C)."""
+    c = jnp.arange(x.shape[1], dtype=jnp.int32)
+    sel = (c[None, :] == idx[:, None]).astype(jnp.int32)
+    return jnp.sum(x * sel, axis=1)
+
+
+def _popcount4(nib: jnp.ndarray) -> jnp.ndarray:
+    return (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1)
+
+
+def nib_rows_keys(rows: jnp.ndarray, pos_base: jnp.ndarray) -> jnp.ndarray:
+    """int32[R, C, 4] sort keys: byte position ``pos_base[r] + 4c + a``
+    where bit ``a`` of ``rows[r, c]`` is set, INF elsewhere.  Feed to
+    ``sort_keys_to_offsets``."""
+    planes = []
+    word_pos = pos_base[:, None] + 4 * jnp.arange(
+        rows.shape[1], dtype=jnp.int32
+    )[None, :]
+    for a in range(4):
+        bit = (rows >> a) & 1
+        planes.append(jnp.where(bit == 1, word_pos + a, INF))
+    return jnp.stack(planes, axis=-1)
+
+
+def sort_keys_to_offsets(keys: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Ascending first ``capacity`` finite keys, FILL-padded."""
+    flat = keys.reshape(-1)
+    if flat.shape[0] < capacity:
+        flat = jnp.concatenate(
+            [flat, jnp.full((capacity - flat.shape[0],), INF, jnp.int32)]
+        )
+    srt = jax.lax.sort(flat)[:capacity]
+    return jnp.where(srt == INF, jnp.int32(FILL), srt)
+
+
+def decode_rows_sorted(rows: jnp.ndarray, pos_base: jnp.ndarray,
+                       capacity: int) -> jnp.ndarray:
+    """offsets[capacity] (ascending, FILL-padded) of every set nibble bit
+    in ``rows`` int32[R, 128].  Cost: one sort of R*512 keys — use after
+    compacting to (match-bearing) rows only."""
+    return sort_keys_to_offsets(nib_rows_keys(rows, pos_base), capacity)
+
+
+# Dense extraction: T-slot keys bound the sort input to R*T instead of
+# R*512; rows holding more than T matches are re-decoded in full via a
+# small gathered side plane, and their slot keys are disabled so the two
+# planes never duplicate a position.
+DENSE_T = 8
+OVERFLOW_ROWS = 2048
+
+
+def dense_extract(rows: jnp.ndarray, rc: jnp.ndarray, pos_base: jnp.ndarray,
+                  capacity: int, T: int = DENSE_T,
+                  overflow_rows: int = OVERFLOW_ROWS):
+    """(offsets[capacity], ok) for a FULL nibble plane int32[R, 128] with
+    per-row set-bit counts ``rc`` (validity already applied upstream).
+
+    Per row, the first ``T`` set-bit positions come from slot decoding
+    (one-hot selects over the MXU-computed in-row prefix); rows with
+    rc > T whose rank range intersects [0, capacity) — only those can
+    place a match among the first ``capacity`` offsets — are gathered into
+    a side plane and decoded in full.  One sort over R*T + side*512 keys
+    orders everything.  The side plane escalates 8x (lax.cond) when the
+    relevant-overflow count exceeds ``overflow_rows``; past THAT, ``ok``
+    is False — offsets are then unusable (a sorted compaction cannot
+    expose mid-stream gaps) and the caller must return an all-FILL buffer
+    (count stays exact; the drain path recovers offsets windowed).
+    """
+    R = rows.shape[0]
+    pc = _popcount4(rows)
+    wcum = minor_cumsum(pc)  # (R, 128) inclusive
+    rank_base = jnp.cumsum(rc) - rc
+
+    over = rc > T
+    relevant = over & (rank_base < capacity)
+    n_rel = jnp.sum(relevant, dtype=jnp.int32)
+    big = 8 * overflow_rows
+    ok = n_rel <= big
+
+    # --- T-slot keys for rows with rc <= T -------------------------------
+    slot_keys = []
+    for j in range(T):
+        wi = jnp.sum((wcum <= j).astype(jnp.int32), axis=1)
+        wi_c = jnp.minimum(wi, rows.shape[1] - 1)
+        word = onehot_select(rows, wi_c)
+        before = jnp.where(wi_c > 0, onehot_select(wcum, wi_c - 1), 0)
+        r_w = j - before
+        c0 = word & 1
+        c01 = c0 + ((word >> 1) & 1)
+        c012 = c01 + ((word >> 2) & 1)
+        bit = jnp.where(r_w < c0, 0,
+                        jnp.where(r_w < c01, 1,
+                                  jnp.where(r_w < c012, 2, 3)))
+        pos = pos_base + wi_c * 4 + bit
+        valid = (j < rc) & ~over
+        slot_keys.append(jnp.where(valid, pos, INF))
+    slot_flat = jnp.stack(slot_keys, axis=1).reshape(-1)
+
+    # --- full decode of relevant overflowed rows (8x-escalating tier) ----
+    def side(oc_rows: int):
+        oids = sorted_nonzero_ids(relevant.astype(jnp.int32), oc_rows, R)
+        occ = jnp.clip(oids, 0, R - 1)
+        orows = jnp.where((oids < R)[:, None], rows[occ], 0)
+        obase = jnp.where(oids < R, pos_base[occ], 0)
+        keys = jnp.concatenate(
+            [slot_flat, nib_rows_keys(orows, obase).reshape(-1)]
+        )
+        return sort_keys_to_offsets(keys, capacity)
+
+    if overflow_rows <= 0:
+        return sort_keys_to_offsets(slot_flat, capacity), jnp.sum(
+            over, dtype=jnp.int32) == 0
+    offs = jax.lax.cond(
+        n_rel <= overflow_rows,
+        lambda _: side(overflow_rows),
+        lambda _: side(big),
+        operand=None,
+    )
+    return offs, ok

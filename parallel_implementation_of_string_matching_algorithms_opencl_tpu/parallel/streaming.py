@@ -121,14 +121,15 @@ class StreamingMatcher:
                 )
             )
 
-        if chunk_bytes % config.pad_multiple:
-            raise ValueError("chunk_bytes must be a multiple of config.pad_multiple")
+        pm = int(np.lcm(config.pad_multiple, 4096))  # word-row alignment
+        if chunk_bytes % pm:
+            raise ValueError(
+                "chunk_bytes must be a multiple of lcm(pad_multiple, 4096)"
+            )
         self.chunk_bytes = chunk_bytes
         # Device chunk shape: owned bytes + (max_m-1) halo, padded.
         halo = self.m - 1
-        self._dev_len = chunk_bytes + (
-            -(-max(halo, 1) // config.pad_multiple) * config.pad_multiple
-        )
+        self._dev_len = chunk_bytes + (-(-max(halo, 1) // pm) * pm)
         self.manifest_path = manifest_path
 
     # -- single-pattern compatibility hooks (used by tests/bench) -----------
@@ -312,7 +313,7 @@ class StreamingMatcher:
         pending: _Pending | None = None
         for ci, start, valid_n, buf in self._iter_chunks(path, start_chunk):
             text_dev = jnp.asarray(buf)
-            words_dev = jnp.asarray(buf.view(np.int32))
+            words_dev = jnp.asarray(buf.view(np.int32).reshape(-1, 1024))
             counts: list = [None] * k
             offsets: list = [None] * k
             ovfs: list = [None] * k

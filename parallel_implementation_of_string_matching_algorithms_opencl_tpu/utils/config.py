@@ -41,8 +41,10 @@ class MatchConfig:
     # kernel's per-tile pl.when verify stalled the tile pipeline, measured
     # 3.75 vs 1.75 ms/256 MiB); 'fused' keeps the in-kernel verify.
     bm_screen: str = "cand"
-    # Pad text length to a multiple of this (TPU lane/sublane friendliness).
-    pad_multiple: int = 1024
+    # Pad text length to a multiple of this (TPU lane/sublane friendliness;
+    # 4096 = one (1, 1024) int32 chunk row, so the pre-shaped word view the
+    # kernels consume always exists).
+    pad_multiple: int = 4096
     # Use Pallas kernels where available ("auto" = on TPU backends only,
     # "on" = force, "off" = pure-XLA path).
     use_pallas: str = "auto"

@@ -155,14 +155,17 @@ def _stage(text_np, sharding=None):
     return text_dev, words_dev, time.perf_counter() - t0
 
 
-def _time_runner(runner, text_dev, words_dev, n, pat_dev, tb_dev, iters=5):
+def _time_runner(runner, text_dev, words_dev, n, pat_dev, tb_dev, iters=6,
+                 passes=3):
     """(warm_output, per_call_s): warm call at exact n (parity source), then
     per-call-synced calls at n-1-i (replay-proof) with the tunnel's null-op
     RTT measured in interleave and subtracted — the same metrology bench.py
-    uses.  The result of every timed call is CONSUMED (int()): the tunnel
-    lazily elides unconsumed executions, which is how a pipelined
-    sync-once-at-the-end loop once reported a physically impossible
-    1.4 TB/s for a 1 GB scan (v5e HBM tops out ~0.8 TB/s)."""
+    uses, including best-of-passes (the shared box drifts ~1x-5x on a
+    minutes scale; interference only ADDS time).  The result of every timed
+    call is CONSUMED (int()): the tunnel lazily elides unconsumed
+    executions, which is how a pipelined sync-once-at-the-end loop once
+    reported a physically impossible 1.4 TB/s for a 1 GB scan (v5e HBM
+    tops out ~0.8 TB/s)."""
     import jax
     import jax.numpy as jnp
 
@@ -170,18 +173,24 @@ def _time_runner(runner, text_dev, words_dev, n, pat_dev, tb_dev, iters=5):
     jax.block_until_ready(out)
     nul = jax.jit(lambda x: x + 1)
     int(nul(jnp.int32(0)))
-    times, rtts = [], []
-    for it in range(iters):
-        t0 = time.perf_counter()
-        o = runner(text_dev, words_dev, jnp.int32(n - 1 - it), pat_dev, tb_dev)
-        jax.block_until_ready(o)
-        times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        int(nul(jnp.int32(it + 1)))
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[len(rtts) // 2]
-    per_call = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
-    return out, per_call
+    best = None
+    it = 0
+    for _ in range(passes):
+        times, rtts = [], []
+        for _i in range(iters):
+            it += 1
+            t0 = time.perf_counter()
+            o = runner(text_dev, words_dev, jnp.int32(n - 1 - (it % 64)),
+                       pat_dev, tb_dev)
+            jax.block_until_ready(o)
+            times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            int(nul(jnp.int32(it)))
+            rtts.append(time.perf_counter() - t0)
+        rtt = sorted(rtts)[len(rtts) // 2]
+        this = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
+        best = this if best is None else min(best, this)
+    return out, best
 
 
 def _cap(estimate: float) -> int:
@@ -262,7 +271,10 @@ def config2(scale):
     cfg = MatchConfig(capacity=cap, verify_capacity=cap)
     mm = RabinKarpMultiMatcher(pats, cfg)
     runner = mm._runner(cfg, mm.k)
-    text_np = pad_to_multiple(np.frombuffer(text, np.uint8), cfg.pad_multiple)
+    # Tile-multiple padding (2 MiB covers every kernel's grid tile) keeps
+    # the jnp-scanned tail at ~m-1 bytes — matcher.match() pads the same
+    # way; staged runners must match it or eat a ~0.5 MB tail per call.
+    text_np = pad_to_multiple(np.frombuffer(text, np.uint8), 2 << 20)
     text_dev, words_dev, h2d = _stage(text_np)
     pat_dev = jnp.asarray(mm.pattern_arr)
     tb_dev = jax.tree.map(jnp.asarray, mm.tables)
@@ -319,7 +331,7 @@ def config3(scale):
     d = mesh.shape[DATA_AXIS]
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     text_np = pad_to_multiple(
-        np.frombuffer(bytes(text), np.uint8), 1024 * d
+        np.frombuffer(bytes(text), np.uint8), (2 << 20) * d  # tile * shards
     )
     text_dev, words_dev, h2d = _stage(text_np, sharding)
     for m in (4, 16, 64, 256):
@@ -390,7 +402,7 @@ def config4(scale):
         matcher = get_matcher("boyer_moore")(pat, cfg)
         runner = matcher._runner(matcher.config)
         text_np = pad_to_multiple(
-            np.frombuffer(corpus, np.uint8), cfg.pad_multiple
+            np.frombuffer(corpus, np.uint8), 2 << 20  # tile multiple
         )
         text_dev, words_dev, h2d = _stage(text_np)
         pat_dev = jnp.asarray(matcher.pattern_arr)
@@ -509,7 +521,7 @@ def config5(scale, stream_bytes: int | None = None,
     d = mesh.shape[DATA_AXIS]
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     text_np = pad_to_multiple(
-        np.frombuffer(text, np.uint8), cfg.pad_multiple * d
+        np.frombuffer(text, np.uint8), (2 << 20) * d  # tile * shards
     )
     text_dev, words_dev, h2d = _stage(text_np, sharding)
     for algo in ("naive", "rabin_karp", "kmp", "boyer_moore"):

@@ -115,7 +115,15 @@ class Matcher:
             # (cut == N for m == 1); the tail is then empty by shape.
             return c1, o1, v1
         tail_valid = _emit.valid_start_mask(tail_mask, n - cut, m)
-        c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)
+        # Tail capacity is bounded by the tail's own length (<= one tile
+        # after tile-multiple padding): a statically small buffer keeps
+        # both the extraction and the merge scatter off the full-capacity
+        # floor (~1 ms of fixed epilogue cost, measured).
+        cap2 = min(config.capacity, tail_mask.shape[0])
+        if tail_mask.shape[0] <= (1 << 21):
+            c2, o2, v2 = _emit.mask_to_matches_sorted(tail_valid, cap2)
+        else:
+            c2, o2, v2 = _emit.mask_to_matches(tail_valid, cap2)
         return _emit.merge_region_matches(
             c1, o1, v1, c2, o2, v2, config.capacity, cut
         )

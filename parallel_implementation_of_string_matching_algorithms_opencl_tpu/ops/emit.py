@@ -173,6 +173,21 @@ def _rank_select_nonzero(vals: jnp.ndarray, count, capacity: int):
     return jnp.where(ok, pos, FILL), jnp.where(ok, val, 0)
 
 
+def mask_to_matches_sorted(mask: jnp.ndarray, capacity: int):
+    """(count, offsets[capacity], overflow) for a SMALL bool mask via one
+    sort (ops/extract economics: ~1-1.7 ns/element beats the per-rank
+    extractor's ~4096-rank tier floor).  Use when mask length is a few MB
+    at most — the kernel-region tail after tile-multiple padding."""
+    from . import extract
+
+    n = mask.shape[0]
+    count = jnp.sum(mask, dtype=jnp.int32)
+    keys = jnp.where(mask, jnp.arange(n, dtype=jnp.int32),
+                     jnp.int32(extract.INF))
+    offsets = extract.sort_keys_to_offsets(keys, capacity)
+    return count, offsets, count > capacity
+
+
 def masked_positions(mask: jnp.ndarray, capacity: int, fill: int = FILL):
     """First ``capacity`` positions where mask is True, ascending, padded
     with ``fill`` — same rank-select extraction as mask_to_matches."""

@@ -42,11 +42,9 @@ FILL = extract.FILL
 # gathered+verified words, ~0.5 ms on v5e; inputs with more candidate
 # chunks go dense.
 SPARSE_CHUNKS = 8192
-# Above this many candidates the dense path wins (the sparse second-level
-# sort grows with match rows; the dense rescan is a flat ~1 ms/100 MB).
-DENSE_COUNT = 16384
-# Sparse second-level slot overflow budget (rows with > DENSE_T matches);
-# bounded a priori by sum(bs > DENSE_T), checked before branching.
+# Sparse second-level slot-overflow side-plane budget (rows with > DENSE_T
+# matches whose rank range intersects [0, capacity)); escalates 8x inside
+# dense_extract before giving up to the drain path.
 SPARSE_OVERFLOW_ROWS = 512
 DENSE_OVERFLOW_ROWS = 2048
 
@@ -111,17 +109,13 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
     M = jnp.asarray(Mnp)
     Lr = bs.shape[0] // 8
     chunkc = jnp.sum(bs.reshape(Lr, 8), axis=1)
-    count_bs = jnp.sum(bs, dtype=jnp.int32)
     cap_g = min(SPARSE_CHUNKS, Lr)
     ncand = jnp.sum(chunkc > 0, dtype=jnp.int32)
-    # Matches per 512B block <= bs[block] (screen superset), so this bounds
-    # the sparse slot-overflow row count BEFORE verification.
-    over_bound = jnp.sum(bs > extract.DENSE_T, dtype=jnp.int32)
-    use_dense = (
-        (ncand > cap_g)
-        | (count_bs > DENSE_COUNT)
-        | (over_bound > SPARSE_OVERFLOW_ROWS)
-    )
+    # Candidate chunks beyond the fixed gather width are the ONE condition
+    # sparse cannot absorb (its extraction work is otherwise bounded by the
+    # compact plane + the rank<capacity relevance window inside
+    # dense_extract); everything else stays on the cheap path.
+    use_dense = ncand > cap_g
 
     def sparse(_):
         gids = extract.sorted_nonzero_ids(chunkc, cap_g, fill=Lr)
@@ -161,5 +155,13 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
         offs = jnp.where(ok, offs, jnp.int32(FILL))
         return jnp.sum(bs2, dtype=jnp.int32), offs, ok
 
-    count, offs, ok = jax.lax.cond(use_dense, dense, sparse, operand=None)
+    if Lr <= cap_g:
+        # Every chunk fits the sparse gather — the dense branch is
+        # statically unreachable; skip the cond (it costs ~0.3 ms and
+        # compiles a second kernel).
+        count, offs, ok = sparse(None)
+    else:
+        count, offs, ok = jax.lax.cond(
+            use_dense, dense, sparse, operand=None
+        )
     return count, offs, (count > capacity) | ~ok

@@ -154,7 +154,13 @@ class DistributedMatcher:
     def match(self, data) -> MatchResult:
         arr = as_byte_array(data)
         n = len(arr)
-        padded = pad_to_multiple(arr, self.config.pad_multiple * self.n_shards)
+        # Tile-multiple shards: each shard's kernel then covers everything
+        # but the (m-1)-byte halo, keeping the slow jnp tail scan at ~zero
+        # (a 1024*d pad left a ~1.4 MB DFA-scanned tail per call; measured
+        # +18 ms on config 3).
+        tile = int(np.lcm(self.config.pad_multiple,
+                          type(self.matcher)._tile_bytes(self.config)))
+        padded = pad_to_multiple(arr, tile * self.n_shards)
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         text_dev = jax.device_put(jnp.asarray(padded), sharding)
         words_dev = jax.device_put(

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Config-5 streaming run at its stated scale (BASELINE.json:11, 100 GB).
+
+Streams the pre-generated planted corpus (bench/gen_corpus.py) through ALL
+FOUR algorithms — one disk read + one host->device ship per chunk, four
+scans of the same device buffer — with a resumable manifest.  Parity:
+every planted offset must appear in every algorithm's result, all four
+algorithms must agree exactly, and spot windows around plants + random
+positions are oracle-checked.  Emits one BENCH_MATRIX.json row per
+algorithm with the io/scan/resolve wall split (StreamingMatcher.last_stats).
+
+Usage: python bench/stream100.py [--gb 100] [--chunk-mb 256] [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+PATH = "/root/repo/.corpora/c5_100gb.bin"
+ALGOS = ["naive", "rabin_karp", "kmp", "boyer_moore"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gb", type=float, default=100.0)
+    ap.add_argument("--chunk-mb", type=int, default=256)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--algos", default=",".join(ALGOS))
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from conformance.oracle import find_all
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.streaming import (  # noqa: E501
+        StreamingMatcher,
+    )
+
+    meta = json.load(open(PATH + ".meta.json"))
+    pat = meta["pattern"].encode()
+    planted = meta["planted"]
+    size = _os.path.getsize(PATH)
+    want_n = int(args.gb * 1e9)
+    assert size == want_n == meta["total"], (size, want_n)
+    algos = args.algos.split(",")
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform}/{dev.device_kind}; {size/1e9:.0f} GB, "
+          f"{len(planted)} plants", file=_sys.stderr)
+
+    sm = StreamingMatcher(
+        pat, algo=algos, chunk_bytes=args.chunk_mb << 20,
+        manifest_path=PATH + ".manifest.json",
+    )
+    t0 = time.perf_counter()
+    results = sm.match_file(PATH, resume=args.resume)
+    wall = time.perf_counter() - t0
+    if not isinstance(results, list):
+        results = [results]
+    stats = sm.last_stats
+
+    # Parity: planted subset per algorithm, cross-algorithm equality,
+    # spot windows vs the oracle.
+    base = results[0]
+    offs0 = np.asarray(base.offsets)
+    ok = True
+    for r in results:
+        o = np.asarray(r.offsets)
+        ok &= (r.count == base.count) and np.array_equal(o, offs0)
+        ok &= not r.overflow
+        ok &= set(planted).issubset(int(x) for x in o)
+    mm = np.memmap(PATH, dtype="u1", mode="r")
+    rng = np.random.default_rng(7)
+    spots = planted[:2] + planted[-2:] + [
+        int(x) for x in rng.integers(0, size - 10000, size=3)
+    ]
+    got_set = set(int(x) for x in offs0)
+    for off in spots:
+        lo = max(0, off - 4096)
+        hi = min(size, off + 4096 + len(pat))
+        win = bytes(mm[lo:hi])
+        w_want = sorted(x + lo for x in find_all(win, pat)
+                        if 0 <= x + lo <= size - len(pat))
+        w_got = sorted(x for x in got_set if lo <= x < hi - len(pat) + 1)
+        ok &= w_got == [x for x in w_want if lo <= x < hi - len(pat) + 1]
+    del mm
+
+    from matrix import emit  # row writer (BENCH_MATRIX.json)
+
+    from matrix import ROW_EXTRA
+
+    ROW_EXTRA.update(device=f"{dev.platform}/{dev.device_kind}",
+                     n_devices=len(jax.devices()), scale=1.0)
+    for r in results:
+        emit({
+            "config": 5,
+            "algo": f"{r.algo.split('@')[0]}_stream100",
+            "n_bytes": size,
+            "wall_s": wall,
+            "bytes_per_s": size / wall,
+            "match_count": int(r.count),
+            "exact_parity": bool(ok),
+            "parity_mode": "planted-subset+cross-algo+spot-windows",
+            "chunks": stats.get("chunks"),
+            "io_read_s": round(stats.get("read_s", 0), 1),
+            "dispatch_s": round(stats.get("dispatch_s", 0), 1),
+            "resolve_s": round(stats.get("resolve_s", 0), 1),
+            "io_path": "axon-tunnel-transfer-bound",
+        })
+    assert ok, "100GB stream parity FAILED"
+    print(f"PASS: {size/1e9:.0f} GB x {len(algos)} algos in {wall:.0f}s "
+          f"(read {stats['read_s']:.0f}s, dispatch {stats['dispatch_s']:.0f}s, "
+          f"resolve {stats['resolve_s']:.0f}s), count={base.count}",
+          file=_sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,10 +45,18 @@ class RabinKarpMultiMatcher:
         self.pattern_arr = np.stack(
             [np.frombuffer(p, dtype=np.uint8) for p in self.patterns]
         )
+        from ..kernels import swar as _swar
+
         self.tables = {
             "powers": consts["powers"],
             "hashes": np.array(
                 [tables.rk_hash(p, consts) for p in self.patterns], dtype=np.uint32
+            ),
+            # int32[k, 4, nw] SWAR words: the word-space verify tables for
+            # the shared candidate-block reconstruction (ops/reconstruct
+            # .extract_region_multi).
+            "swar_ps": np.stack(
+                [_swar.pattern_words(p)[0] for p in self.pattern_arr]
             ),
         }
 
@@ -104,17 +112,20 @@ class RabinKarpMultiMatcher:
         base = (
             config.rk_base if config.rk_base is not None else int(tables.RK_BASE)
         )
+        from ..ops import reconstruct
+
         sparse = config.emission == "sparse"
+        x2d = reconstruct.full_words2d(text, words)
         if sparse:
-            # ONE bsums-only screen pass; per-pattern window-compare
-            # reconstruction both verifies and extracts (a candidate
-            # belonging to another pattern fails this pattern's compare).
-            # The candidate-block gather is identical across patterns, so
-            # XLA CSE shares it; only the compares replicate.
+            # ONE bsums-only screen pass over all k hashes; the shared
+            # candidate-block reconstruction verifies every pattern against
+            # the gathered blocks in word space and extracts the union
+            # positions + membership payload with one sort-pair
+            # (ops/reconstruct.extract_region_multi).
             bs, cut = rk_roll.rk_candidate_bsums(
                 text, n, tables_["hashes"], m, base,
                 chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret, words=words,
+                interpret=config.interpret, words=x2d,
             )
             if bs is None:
                 return None
@@ -122,7 +133,7 @@ class RabinKarpMultiMatcher:
             nib, cut = rk_roll.rk_candidate_nib(
                 text, n, tables_["hashes"], m, base,
                 chunk_bytes=config.pallas_chunk_bytes,
-                interpret=config.interpret, words=words,
+                interpret=config.interpret, words=x2d,
             )
             if nib is None:
                 return None
@@ -137,8 +148,9 @@ class RabinKarpMultiMatcher:
             config.verify_capacity,
         )
         if sparse:
-            cs1, os1, vs1 = _emit.multi_bsums_to_matches(
-                bs, text, patterns, limit_k, config.capacity
+            cs1, os1, vs1 = reconstruct.extract_region_multi(
+                bs, x2d, text, n, patterns, tables_["swar_ps"], limit_k,
+                config.capacity, config,
             )
         counts, offsets, overflows = [], [], []
         for p in range(k):

@@ -124,6 +124,50 @@ DENSE_T = 8
 OVERFLOW_ROWS = 2048
 
 
+def slot_decode(rows: jnp.ndarray, rc: jnp.ndarray, pos_base: jnp.ndarray,
+                T: int, pay=None):
+    """((R, T) position keys INF-padded, (R, T) payload vals or None) for
+    the first T set nibble bits per row; rows with rc > T emit all-INF (the
+    caller's side plane takes them).  ``pay``: optional [4] list of int32
+    [R, C] payload planes (one per nibble bit); the slot's payload is the
+    plane-``bit`` word at the slot's word index."""
+    C = rows.shape[1]
+    pc = _popcount4(rows)
+    wcum = minor_cumsum(pc)
+    over = rc > T
+    keys, vals = [], []
+    for j in range(T):
+        wi = jnp.sum((wcum <= j).astype(jnp.int32), axis=1)
+        wi_c = jnp.minimum(wi, C - 1)
+        word = onehot_select(rows, wi_c)
+        before = jnp.where(wi_c > 0, onehot_select(wcum, wi_c - 1), 0)
+        r_w = j - before
+        c0 = word & 1
+        c01 = c0 + ((word >> 1) & 1)
+        c012 = c01 + ((word >> 2) & 1)
+        bit = jnp.where(r_w < c0, 0,
+                        jnp.where(r_w < c01, 1,
+                                  jnp.where(r_w < c012, 2, 3)))
+        pos = pos_base + wi_c * 4 + bit
+        valid = (j < rc) & ~over
+        keys.append(jnp.where(valid, pos, INF))
+        if pay is not None:
+            v = jnp.zeros(rows.shape[0], jnp.int32)
+            for a in range(4):
+                v |= jnp.where(bit == a, onehot_select(pay[a], wi_c), 0)
+            vals.append(v)
+    k2 = jnp.stack(keys, axis=1)
+    return k2, (jnp.stack(vals, axis=1) if pay is not None else None)
+
+
+def nib_rows_keys_payload(rows: jnp.ndarray, pos_base: jnp.ndarray, pay):
+    """(keys int32[R, C, 4], vals int32[R, C, 4]): position keys as
+    nib_rows_keys plus the matching per-bit payload words."""
+    keys = nib_rows_keys(rows, pos_base)
+    vals = jnp.stack([pay[a] for a in range(4)], axis=-1)
+    return keys, vals
+
+
 def dense_extract(rows: jnp.ndarray, rc: jnp.ndarray, pos_base: jnp.ndarray,
                   capacity: int, T: int = DENSE_T,
                   overflow_rows: int = OVERFLOW_ROWS):

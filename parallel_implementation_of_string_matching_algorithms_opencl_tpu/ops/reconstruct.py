@@ -165,3 +165,147 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
             use_dense, dense, sparse, operand=None
         )
     return count, offs, (count > capacity) | ~ok
+
+
+# Multi-pattern candidate-block gather tiers (512-byte granularity: the
+# union of k patterns' matches is block-dense long before it is
+# chunk-dense, and the gather + k-pattern verify cost is what scales with
+# the tier — the mid tier exists because config 2's ~267k candidate
+# blocks sat at 51% utilization of a lone 524288 tier).
+MULTI_BLOCK_TIERS = (16384, 327680, 524288)
+
+
+def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
+                         capacity: int, config):
+    """Stacked (counts[k], offsets[k, capacity], overflows[k]) from ONE
+    union candidate-block-sums plane (the k-hash rolling screen).
+
+    Candidate 512-byte blocks are gathered once and verified against all k
+    patterns in word space; per-(word, alignment) membership packs into
+    four k-bit payload planes, so ONE sort-pair orders the union positions
+    with their pattern sets and each pattern compacts its subset with a
+    capacity-sized sort.  Replaces the round-2 multi path whose per-rank
+    union extraction and text.reshape relayouts held config 2 at 3.4 GB/s.
+
+    ``patterns``: uint8[k, m]; ``P_all``: int32[k, 4, nw] SWAR pattern
+    words (multi_pattern_words).  Counts are exact whenever every candidate
+    block fits the big gather tier; past that (adversarial) the counts fall
+    back to an exact dense slab recount and offsets report as overflowed.
+    """
+    from . import emit as _emit
+
+    k, m = patterns.shape
+    Mnp = swar.mask_words(m)
+    M = jnp.asarray(Mnp)
+    nw = Mnp.shape[1]
+    nb = bs.shape[0]
+    xblk = x2d.reshape(-1, 128)
+    R8 = xblk.shape[0]
+    nblk = jnp.sum(bs > 0, dtype=jnp.int32)
+    tiers = sorted({min(t, nb) for t in MULTI_BLOCK_TIERS})
+
+    def tier(cap_b: int):
+        bids = extract.sorted_nonzero_ids(bs, cap_b, fill=nb)
+        bc = jnp.clip(bids, 0, R8 - 1)
+        win = jnp.concatenate(
+            [xblk[bc], xblk[jnp.clip(bc + 1, 0, R8 - 1)][:, :nw]], axis=1
+        )
+        word_pos = bids[:, None] * 512 + 4 * jnp.arange(
+            128, dtype=jnp.int32)[None, :]
+        pay = []
+        for a in range(4):
+            plane = jnp.zeros((cap_b, 128), jnp.int32)
+            for p in range(k):
+                acc = None
+                for kk in range(nw):
+                    if Mnp[a, kk] == 0:
+                        continue
+                    w = win[:, kk : kk + 128]
+                    eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 else (
+                        (w & M[a, kk]) == P_all[p, a, kk]
+                    )
+                    acc = eq if acc is None else (acc & eq)
+                plane |= acc.astype(jnp.int32) << p
+            # validity: bit a of word w is a start at word_pos + a
+            pay.append(jnp.where(word_pos + a <= limit, plane, 0))
+        union_nib = jnp.zeros((cap_b, 128), jnp.int32)
+        for a in range(4):
+            union_nib |= (pay[a] != 0).astype(jnp.int32) << a
+        rc = jnp.sum(extract._popcount4(union_nib), axis=1)
+        union_count = jnp.sum(rc, dtype=jnp.int32)
+        pos_base = bids * 512  # fill rows already zeroed by validity
+
+        T = 4
+        keys, vals = extract.slot_decode(union_nib, rc, pos_base, T, pay)
+        # side plane: rows with > T union matches intersecting [0, capacity)
+        rank_base = jnp.cumsum(rc) - rc
+        relevant = (rc > T) & (rank_base < capacity)
+        n_rel = jnp.sum(relevant, dtype=jnp.int32)
+        OC = 2048
+        ok = n_rel <= OC
+        oids = extract.sorted_nonzero_ids(
+            relevant.astype(jnp.int32), OC, cap_b
+        )
+        oc = jnp.clip(oids, 0, cap_b - 1)
+        ovalid = (oids < cap_b)[:, None]
+        orows = jnp.where(ovalid, union_nib[oc], 0)
+        opay = [jnp.where(ovalid, pay[a][oc], 0) for a in range(4)]
+        obase = jnp.where(oids < cap_b, pos_base[oc], 0)
+        okeys, ovals = extract.nib_rows_keys_payload(orows, obase, opay)
+        flat_k = jnp.concatenate([keys.reshape(-1), okeys.reshape(-1)])
+        flat_v = jnp.concatenate([vals.reshape(-1), ovals.reshape(-1)])
+        if flat_k.shape[0] < capacity:
+            padn = capacity - flat_k.shape[0]
+            flat_k = jnp.concatenate(
+                [flat_k, jnp.full((padn,), extract.INF, jnp.int32)])
+            flat_v = jnp.concatenate([flat_v, jnp.zeros((padn,), jnp.int32)])
+        srt_k, srt_v = jax.lax.sort((flat_k, flat_v), num_keys=1)
+        upos, uval = srt_k[:capacity], srt_v[:capacity]
+        offs = []
+        for p in range(k):
+            keyp = jnp.where(
+                ((uval >> p) & 1) == 1, upos, jnp.int32(extract.INF)
+            )
+            sp = jax.lax.sort(keyp)
+            offs.append(jnp.where(sp == extract.INF, jnp.int32(FILL), sp))
+        # Per-pattern counts: from the sorted union buffer when it holds
+        # every union position (the common case — one cheap pass), else an
+        # exact recount over the payload planes (cond keeps the ~8 ms
+        # k*4-plane popcount off the hot path).
+        uvalid = jnp.where(upos != extract.INF, uval, 0)
+        counts = jax.lax.cond(
+            union_count <= capacity,
+            lambda: jnp.stack([
+                jnp.sum((uvalid >> p) & 1, dtype=jnp.int32)
+                for p in range(k)
+            ]),
+            lambda: jnp.stack([
+                sum(jnp.sum((pay[a] >> p) & 1, dtype=jnp.int32)
+                    for a in range(4))
+                for p in range(k)
+            ]),
+        )
+        trunc = (union_count > capacity) | ~ok | (nblk > cap_b)
+        return counts, jnp.stack(offs), jnp.broadcast_to(trunc, (k,))
+
+    def giveup():
+        # Candidate blocks beyond the big gather (adversarial): exact
+        # counts via the dense slab recount; offsets unrecoverable here
+        # (drain/windowed re-extraction recovers them).
+        counts = jnp.stack([
+            _emit._dense_block_count(text_u8, patterns[p], nb, limit)
+            for p in range(k)
+        ])
+        offs = jnp.full((k, capacity), FILL, jnp.int32)
+        return counts, offs, jnp.ones((k,), bool)
+
+    if len(tiers) == 1:
+        counts, offs, trunc = tier(tiers[0])
+    else:
+        branches = [lambda c=c: tier(c) for c in tiers]
+        sel = sum((nblk > t).astype(jnp.int32) for t in tiers[:-1])
+        if nb > tiers[-1]:
+            branches.append(giveup)
+            sel = sel + (nblk > tiers[-1]).astype(jnp.int32)
+        counts, offs, trunc = jax.lax.switch(sel, branches)
+    return counts, offs, (counts > capacity) | trunc

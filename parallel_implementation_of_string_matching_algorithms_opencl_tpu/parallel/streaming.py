@@ -68,7 +68,7 @@ class StreamingMatcher:
     def __init__(
         self,
         pattern,
-        algo: str = "boyer_moore",
+        algo="boyer_moore",
         config: MatchConfig = DEFAULT_CONFIG,
         chunk_bytes: int = DEFAULT_CHUNK_BYTES,
         manifest_path: str | None = None,
@@ -77,37 +77,57 @@ class StreamingMatcher:
         import jax.numpy as jnp
 
         self._jax, self._jnp = jax, jnp
-        if isinstance(pattern, (list, tuple)):
+        # Result slots: one per pattern (algo: str), or — algo given as a
+        # LIST — one per algorithm over a single shared pattern (the chunk
+        # is read and shipped ONCE; every algorithm scans the same device
+        # buffer, which is how the 100 GB config runs all four algorithms
+        # for ~the price of one stream).
+        if isinstance(algo, (list, tuple)):
+            if isinstance(pattern, (list, tuple)):
+                raise ValueError(
+                    "pass a list of patterns OR a list of algorithms"
+                )
+            self.algos = [get_matcher(a).name for a in algo]
+            self.patterns = [bytes(pattern)] * len(self.algos)
+            self._single = False
+        elif isinstance(pattern, (list, tuple)):
             self.patterns = [bytes(p) for p in pattern]
+            self.algos = [get_matcher(algo).name] * len(self.patterns)
             self._single = False
         else:
             self.patterns = [bytes(pattern)]
+            self.algos = [get_matcher(algo).name]
             self._single = True
         if not self.patterns or any(len(p) == 0 for p in self.patterns):
             raise ValueError("empty pattern")
         self.k = len(self.patterns)
-        self.algo = get_matcher(algo).name  # canonical (aliases resolved)
+        self.algo = ";".join(dict.fromkeys(self.algos))  # manifest identity
         self.config = config
         self.m = max(len(p) for p in self.patterns)  # halo driver
+        self.last_stats: dict = {}
 
         # Scan units: equal-length groups share one RK hash pass when the
         # algorithm is rabin_karp; everything else is one matcher/pattern.
         self._units: list[_Unit] = []
-        if get_matcher(algo).name == "rabin_karp" and self.k > 1:
-            by_len: dict[int, list[int]] = {}
-            for i, p in enumerate(self.patterns):
+        by_len: dict[int, list[int]] = {}
+        for i, p in enumerate(self.patterns):
+            if self.algos[i] == "rabin_karp":
                 by_len.setdefault(len(p), []).append(i)
-            groups = [idxs for idxs in by_len.values()]
-        else:
-            groups = [[i] for i in range(self.k)]
-        for idxs in groups:
+        unit_specs: list[list[int]] = [
+            idxs for idxs in by_len.values() if len(idxs) > 1
+        ]
+        grouped = {i for idxs in unit_specs for i in idxs}
+        unit_specs += [[i] for i in range(self.k) if i not in grouped]
+        for idxs in unit_specs:
             if len(idxs) > 1:
                 mm = RabinKarpMultiMatcher(
                     [self.patterns[i] for i in idxs], config
                 )
                 runner = mm._runner(mm.config, mm.k)
             else:
-                mm = get_matcher(algo)(self.patterns[idxs[0]], config)
+                mm = get_matcher(self.algos[idxs[0]])(
+                    self.patterns[idxs[0]], config
+                )
                 runner = mm._runner(mm.config)  # per-pattern specialized
             self._units.append(
                 _Unit(
@@ -127,6 +147,12 @@ class StreamingMatcher:
                 "chunk_bytes must be a multiple of lcm(pad_multiple, 4096)"
             )
         self.chunk_bytes = chunk_bytes
+        # Word view: ship from host (zero-copy view, 2x the host->device
+        # bytes) or repack on device (~60 ms/256 MiB on v5e).  Streaming is
+        # usually transfer-bound, so repacking is the default; flip it on
+        # hosts whose DMA outruns the ~4 GB/s device repack.
+        self.ship_words = False
+        self._repack = None
         # Device chunk shape: owned bytes + (max_m-1) halo, padded.
         halo = self.m - 1
         self._dev_len = chunk_bytes + (-(-max(halo, 1) // pm) * pm)
@@ -310,10 +336,33 @@ class StreamingMatcher:
                 overflowed[0] if k == 1 else overflowed,
             )
 
+        import time as _time
+
+        stats = {"read_s": 0.0, "dispatch_s": 0.0, "resolve_s": 0.0,
+                 "chunks": 0}
+        t_all = _time.perf_counter()
         pending: _Pending | None = None
-        for ci, start, valid_n, buf in self._iter_chunks(path, start_chunk):
+        chunk_iter = self._iter_chunks(path, start_chunk)
+        while True:
+            t0 = _time.perf_counter()
+            item = next(chunk_iter, None)
+            stats["read_s"] += _time.perf_counter() - t0
+            if item is None:
+                break
+            ci, start, valid_n, buf = item
+            stats["chunks"] += 1
+            t0 = _time.perf_counter()
             text_dev = jnp.asarray(buf)
-            words_dev = jnp.asarray(buf.view(np.int32).reshape(-1, 1024))
+            if self.ship_words:
+                words_dev = jnp.asarray(buf.view(np.int32).reshape(-1, 1024))
+            else:
+                if self._repack is None:
+                    from ..kernels import swar as _swar
+
+                    self._repack = jax.jit(
+                        lambda t: _swar._as_words(t).reshape(-1, 1024)
+                    )
+                words_dev = self._repack(text_dev)
             counts: list = [None] * k
             offsets: list = [None] * k
             ovfs: list = [None] * k
@@ -337,12 +386,19 @@ class StreamingMatcher:
                     counts[u.idxs[0]], offsets[u.idxs[0]], ovfs[u.idxs[0]] = (
                         c, o, v
                     )
+            stats["dispatch_s"] += _time.perf_counter() - t0
             this = _Pending(ci, start, counts, offsets, ovfs)
             if pending is not None:
+                t0 = _time.perf_counter()
                 resolve(pending)  # sync chunk k-1 while chunk k computes
+                stats["resolve_s"] += _time.perf_counter() - t0
             pending = this
         if pending is not None:
+            t0 = _time.perf_counter()
             resolve(pending)
+            stats["resolve_s"] += _time.perf_counter() - t0
+        stats["wall_s"] = _time.perf_counter() - t_all
+        self.last_stats = stats
 
         # Offsets within the halo of chunk k duplicate the owned start of
         # chunk k+1 — per-unit n_eff caps counted starts at chunk_bytes - 1
@@ -357,7 +413,7 @@ class StreamingMatcher:
                 offs = np.asarray(sorted(all_offsets[i]), dtype=np.int64)
             results.append(
                 MatchResult(
-                    algo=f"{self.algo}@stream",
+                    algo=f"{self.algos[i]}@stream",
                     pattern=self.patterns[i],
                     n=size,
                     count=totals[i],

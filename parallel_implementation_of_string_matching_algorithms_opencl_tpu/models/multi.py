@@ -148,10 +148,22 @@ class RabinKarpMultiMatcher:
             config.verify_capacity,
         )
         if sparse:
-            cs1, os1, vs1 = reconstruct.extract_region_multi(
-                bs, x2d, text, n, patterns, tables_["swar_ps"], limit_k,
-                config.capacity, config,
-            )
+            # Payload planes hold one pattern per int32 bit (sign bit
+            # excluded) — larger sets run the shared-candidate extraction
+            # in groups of 31 against the same union screen; a candidate
+            # belonging to another group simply fails this group's verify.
+            GROUP = 31
+            parts = [
+                reconstruct.extract_region_multi(
+                    bs, x2d, text, n, patterns[g : g + GROUP],
+                    tables_["swar_ps"][g : g + GROUP], limit_k,
+                    config.capacity, config,
+                )
+                for g in range(0, k, GROUP)
+            ]
+            cs1 = jnp.concatenate([p[0] for p in parts])
+            os1 = jnp.concatenate([p[1] for p in parts])
+            vs1 = jnp.concatenate([p[2] for p in parts])
         counts, offsets, overflows = [], [], []
         for p in range(k):
             if sparse:

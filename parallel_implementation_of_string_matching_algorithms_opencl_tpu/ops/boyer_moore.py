@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import vma
+
 from .rabin_karp import DEFAULT_VERIFY_CAPACITY, _verify_candidates
 
 DEFAULT_CURSOR_CHUNK = 4096
@@ -108,6 +110,6 @@ def bm_start_mask_cursor(
         return cursor, mask
 
     _, mask = jax.lax.while_loop(
-        cond, body, (starts, jnp.zeros((total,), jnp.bool_))
+        cond, body, vma.taint((starts, jnp.zeros((total,), jnp.bool_)), text)
     )
     return mask[:n_pos]

@@ -327,7 +327,11 @@ def window_start_mask(windows: jnp.ndarray, pattern: jnp.ndarray):
         win = jax.lax.dynamic_slice(windows, (0, j), (B, L))
         return mask & (win == pattern[j])
 
-    return jax.lax.fori_loop(0, m, body, jnp.ones((B, L), jnp.bool_))
+    from . import vma as _vma
+
+    return jax.lax.fori_loop(
+        0, m, body, _vma.taint(jnp.ones((B, L), jnp.bool_), windows)
+    )
 
 
 def _gather_candidate_windows(blk, rows, cap_b: int, nb: int, row_len: int,
@@ -472,7 +476,9 @@ def _dense_block_count(text: jnp.ndarray, pattern: jnp.ndarray, nb: int,
         sm = sm & (gpos <= limit)
         return acc + jnp.sum(sm, dtype=jnp.int32)
 
-    return jax.lax.fori_loop(0, nsl, body, jnp.int32(0))
+    from . import vma as _vma
+
+    return jax.lax.fori_loop(0, nsl, body, _vma.taint(jnp.int32(0), text))
 
 
 def bsums_to_matches_screened(bs: jnp.ndarray, text: jnp.ndarray,

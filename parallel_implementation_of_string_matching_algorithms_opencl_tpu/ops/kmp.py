@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import vma
+
 DEFAULT_CHUNK = 2048
 
 
@@ -60,7 +62,7 @@ def kmp_start_mask(
         return nxt, nxt == m
 
     _, hits = jax.lax.scan(
-        step, jnp.zeros((lanes,), jnp.int32), ext.T
+        step, vma.taint(jnp.zeros((lanes,), jnp.int32), ext), ext.T
     )  # hits: (c+m-1, L); hit at step t == match ENDING at lane-local t
     # A match ending at t starts at t-m+1; owned starts are lane-local [0, c).
     start_hits = hits.T[:, m - 1 :]  # (L, c)

@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import vma
+
 # Above this pattern length the shifted-compare chain rolls up into a
 # fori_loop: an unrolled chain is one fused VPU pass but O(m) HLO ops over
 # the FULL array, and at m=256 trace size / compile time blow up
@@ -48,5 +50,5 @@ def naive_start_mask(text: jnp.ndarray, pattern: jnp.ndarray) -> jnp.ndarray:
         return mask & (win == pattern[j])
 
     return jax.lax.fori_loop(
-        0, m, body, jnp.ones((n_pos,), jnp.bool_)
+        0, m, body, vma.taint(jnp.ones((n_pos,), jnp.bool_), padded)
     )

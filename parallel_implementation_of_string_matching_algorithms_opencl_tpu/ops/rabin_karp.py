@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import vma
+
 from .emit import masked_positions, tiered_by_count
 from .naive import naive_start_mask
 
@@ -55,7 +57,7 @@ def rk_window_hashes(text: jnp.ndarray, powers: jnp.ndarray) -> jnp.ndarray:
         return h + win * powers[j]
 
     return jax.lax.fori_loop(
-        0, m, body, jnp.zeros((n_pos,), jnp.uint32)
+        0, m, body, vma.taint(jnp.zeros((n_pos,), jnp.uint32), padded)
     )
 
 

@@ -1,0 +1,170 @@
+"""Unit tests for the sort-based extraction primitives (ops/extract) and
+the word-space reconstruction (ops/reconstruct) — the round-3 emission
+pipeline (SURVEY.md §7.3 stage 2 / hard part #1)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.ops import (
+    extract,
+)
+
+
+def ref_positions(rows, base):
+    out = []
+    for r in range(rows.shape[0]):
+        for c in range(rows.shape[1]):
+            for a in range(4):
+                if (rows[r, c] >> a) & 1:
+                    out.append(int(base[r]) + 4 * c + a)
+    return sorted(out)
+
+
+def rand_plane(R, density, seed, dense_rows=()):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, 16, size=(R, 128)).astype(np.int32)
+    rows[rng.random((R, 128)) >= density] = 0
+    for r, v in dense_rows:
+        rows[r] = v
+    rc = np.stack(
+        [((rows >> a) & 1).sum(1) for a in range(4)]
+    ).sum(0).astype(np.int32)
+    base = (np.arange(R) * 512).astype(np.int32)
+    return rows, rc, base
+
+
+def test_sorted_nonzero_ids():
+    rng = np.random.default_rng(0)
+    flags = (rng.random(1000) < 0.03).astype(np.int32)
+    ids = np.asarray(
+        extract.sorted_nonzero_ids(jnp.asarray(flags), 64, fill=1000)
+    )
+    want = np.flatnonzero(flags)[:64]
+    assert np.array_equal(ids[: len(want)], want)
+    assert np.all(ids[len(want):] == 1000)
+    # cap > R pads with fill
+    ids2 = np.asarray(
+        extract.sorted_nonzero_ids(jnp.asarray(flags[:10]), 32, fill=10)
+    )
+    assert ids2.shape == (32,) and np.all(ids2[np.flatnonzero(flags[:10]).size:] == 10)
+
+
+def test_minor_cumsum_matches_numpy():
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 5, size=(333, 128)).astype(np.int32)
+    got = np.asarray(extract.minor_cumsum(jnp.asarray(x)))
+    assert np.array_equal(got, np.cumsum(x, axis=1))
+
+
+def test_onehot_select_matches_fancy_index():
+    rng = np.random.default_rng(2)
+    x = rng.integers(-5, 99, size=(217, 128)).astype(np.int32)
+    idx = rng.integers(0, 128, size=217).astype(np.int32)
+    got = np.asarray(extract.onehot_select(jnp.asarray(x), jnp.asarray(idx)))
+    assert np.array_equal(got, x[np.arange(217), idx])
+
+
+def test_decode_rows_sorted_exact():
+    rows, rc, base = rand_plane(40, 0.03, seed=3)
+    want = ref_positions(rows, base)
+    got = np.asarray(
+        extract.decode_rows_sorted(jnp.asarray(rows), jnp.asarray(base), 4096)
+    )
+    got = got[got >= 0]
+    assert list(got) == want[:4096]
+
+
+@pytest.mark.parametrize("capacity", [1 << 14, 64])
+def test_dense_extract_mixed_density(capacity):
+    # sparse rows + a fully-dense row + a mid row: slot plane + side plane
+    rows, rc, base = rand_plane(
+        300, 0.1, seed=4,
+        dense_rows=[(7, 15), (200, np.r_[[9] * 50, [0] * 78].astype(np.int32))],
+    )
+    want = ref_positions(rows, base)
+    offs, ok = extract.dense_extract(
+        jnp.asarray(rows), jnp.asarray(rc), jnp.asarray(base), capacity
+    )
+    offs = np.asarray(offs)
+    offs = offs[offs >= 0]
+    assert bool(ok)
+    k = min(len(want), capacity)
+    assert list(offs) == want[:k]
+
+
+def test_dense_extract_relevance_bounds_fully_dense():
+    # All rows fully dense, small capacity: only the rows whose rank range
+    # intersects [0, capacity) matter, so the side plane absorbs them and
+    # extraction stays complete through capacity.
+    R = 64
+    rows = np.full((R, 128), 15, np.int32)
+    rc = np.full(R, 512, np.int32)
+    base = (np.arange(R) * 512).astype(np.int32)
+    offs, ok = extract.dense_extract(
+        jnp.asarray(rows), jnp.asarray(rc), jnp.asarray(base), 1 << 10,
+        T=4, overflow_rows=2,
+    )
+    assert bool(ok)
+    offs = np.asarray(offs)
+    assert list(offs) == list(range(1 << 10))
+
+
+def test_dense_extract_giveup_flags_not_garbage():
+    # More RELEVANT overflow rows (rank range intersecting [0, capacity))
+    # than the 8x-escalated side plane: ok=False and the caller must blank
+    # offsets (a sorted compaction cannot show gaps).
+    R = 64
+    rows = np.zeros((R, 128), np.int32)
+    rows[:, :8] = 15  # 32 matches/row > T=4
+    rc = np.full(R, 32, np.int32)
+    base = (np.arange(R) * 512).astype(np.int32)
+    # capacity 1024 spans 32 rows > 8*overflow_rows(2) = 16
+    offs, ok = extract.dense_extract(
+        jnp.asarray(rows), jnp.asarray(rc), jnp.asarray(base), 1 << 10,
+        T=4, overflow_rows=2,
+    )
+    assert not bool(ok)
+
+
+def test_slot_decode_payload():
+    rng = np.random.default_rng(5)
+    R = 50
+    rows = rng.integers(0, 16, size=(R, 128)).astype(np.int32)
+    rows[rng.random((R, 128)) < 0.9] = 0
+    rc = np.stack(
+        [((rows >> a) & 1).sum(1) for a in range(4)]
+    ).sum(0).astype(np.int32)
+    base = (np.arange(R) * 512).astype(np.int32)
+    pay = [rng.integers(1, 1 << 20, size=(R, 128)).astype(np.int32)
+           for _ in range(4)]
+    T = 8
+    keys, vals = extract.slot_decode(
+        jnp.asarray(rows), jnp.asarray(rc), jnp.asarray(base), T,
+        [jnp.asarray(p) for p in pay],
+    )
+    keys, vals = np.asarray(keys), np.asarray(vals)
+    for r in range(R):
+        if rc[r] > T:
+            assert np.all(keys[r] == extract.INF)
+            continue
+        want = []
+        for c in range(128):
+            for a in range(4):
+                if (rows[r, c] >> a) & 1:
+                    want.append((base[r] + 4 * c + a, pay[a][r, c]))
+        for j in range(T):
+            if j < len(want):
+                assert keys[r, j] == want[j][0]
+                assert vals[r, j] == want[j][1]
+            else:
+                assert keys[r, j] == extract.INF
+
+
+def test_sort_keys_to_offsets_pads_and_fills():
+    keys = jnp.asarray(np.array([extract.INF, 7, 3, extract.INF, 5],
+                                np.int32))
+    out = np.asarray(extract.sort_keys_to_offsets(keys, 8))
+    assert list(out) == [3, 5, 7, -1, -1, -1, -1, -1]

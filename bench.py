@@ -46,49 +46,49 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg,
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
 
-    # Per-call sync with measured null-RTT subtraction.  Metrology notes
-    # (all measured on the axon tunnel): async pipelining both replays
-    # identical calls from cache AND lazily elides unconsumed results, so
-    # only a consumed, per-call-synced execution is trustworthy; the
-    # tunnel's ~30-45ms sync round-trip is measured with a null op and
-    # subtracted.  Operands differ per call so nothing can be replayed.
+    # Timing (round-3 metrology): per-call host sync with an interleaved
+    # null op, taking the MEDIAN OF PAIRED DIFFERENCES (t_i - null_i)
+    # within each pass and the best pass across passes.  Rationale,
+    # all measured on this tunnel: (a) results must be consumed per call
+    # (int()) — verified to force the FULL executable (count-only vs
+    # all-outputs consumption time identically, ~2.2-2.8 ms for BM); (b)
+    # chained dependent dispatch UNDER-reports multi-output executables
+    # here (0.6 ms for a pipeline whose scan alone is >2 ms) and is not
+    # used; (c) subtracting a pass-level null median/min fabricated
+    # near-zero walls when the null spiked ("RK 311 GB/s") — PAIRED
+    # differences keep each subtraction inside one window, and their
+    # median tolerates outliers on both sides.  Operands differ per call
+    # (replay-proof); the box drifts ~1x-5x on a minutes scale, so the
+    # best pass wins (interference only ever ADDS time).
     nul = jax.jit(lambda x: x + 1)
     int(nul(jnp.int32(0)))
-
-    # Interleave workload calls with null-op round trips so both see the
-    # same tunnel load; compute = median(work) - median(null).  The box
-    # behind the tunnel is shared and can slow 3x for minutes at a time
-    # (measured: identical code 2.4 ms and 7.1 ms twenty minutes apart),
-    # so the procedure runs `passes` times and keeps the best pass median
-    # — external interference only ever ADDS time.
     count = 0
-    # Speed-of-light floor: a 256 MiB scan cannot beat HBM read bandwidth
-    # (~819 GB/s on v5e).  A pass whose median-minus-null lands below it
-    # is a subtraction artifact (null-op RTT jitter exceeding the device
-    # time), and taking min() over passes would select exactly that
-    # artifact — discard such passes instead.
+    # Speed-of-light floor: a scan cannot beat HBM read bandwidth
+    # (~819 GB/s on v5e); readings below it are subtraction artifacts.
     sol = n / 850e9
     valid, fallback = [], []
+    it_all = 0
     for _ in range(passes):
-        times, rtts = [], []
-        for it in range(iters):
+        diffs = []
+        for _i in range(iters):
+            it_all += 1
             t0 = time.perf_counter()
-            o = runner(text_dev, words_dev, jnp.int32(n - 1 - it), pat_dev,
+            o = runner(text_dev, words_dev, jnp.int32(n - it_all), pat_dev,
                        tables_dev)
             count = int(o[0])
-            times.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            int(nul(jnp.int32(it + 1)))
-            rtts.append(time.perf_counter() - t0)
-        rtt = sorted(rtts)[len(rtts) // 2]
-        this = sorted(times)[len(times) // 2] - rtt
+            t1 = time.perf_counter()
+            int(nul(jnp.int32(it_all)))
+            t2 = time.perf_counter()
+            diffs.append((t1 - t0) - (t2 - t1))
+        diffs.sort()
+        this = diffs[len(diffs) // 2]
         (valid if this >= sol else fallback).append(max(this, sol))
-    # If EVERY pass landed below the speed-of-light floor the subtraction
-    # is untrustworthy (null-RTT jitter swamped the device time): the
-    # clamped value is a floor, not a measurement — flag it rather than
-    # report a fabricated ~HBM-bandwidth number as fact.
+    # Every pass below the SOL floor => the null jitter swamped the device
+    # time; the clamped value is a floor, not a measurement — flag it.
     timing_suspect = not valid
     per_call = min(valid) if valid else min(fallback)
+    rtt = None
+    per_call = max(per_call, sol)
 
     # VMEM-residency / working-set sanity from XLA's own memory analysis:
     # temp (scratch) memory far below n_bytes means the scan streams tiles
@@ -187,7 +187,8 @@ def main():
         results[algo] = r
         print(
             f"  {algo:12s} {r['bytes_per_s_per_chip'] / 1e9:8.2f} GB/s/chip  "
-            f"(best-of-{args.passes}-passes median-minus-null-RTT over {args.iters}, "
+            f"(best-of-{args.passes} passes, median paired diff over "
+            f"{args.iters}, "
             f"{r['wall_s'] * 1e3:.1f} ms, "
             f"count={r['match_count']}, compile {r['compile_s']:.1f}s)",
             file=sys.stderr,

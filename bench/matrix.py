@@ -187,7 +187,9 @@ def _time_runner(runner, text_dev, words_dev, n, pat_dev, tb_dev, iters=6,
             t0 = time.perf_counter()
             int(nul(jnp.int32(it)))
             rtts.append(time.perf_counter() - t0)
-        rtt = sorted(rtts)[len(rtts) // 2]
+        # min(rtt), not median: see bench.py — a spiked null-RTT median
+        # fabricates a near-zero wall and best-of-passes would select it.
+        rtt = min(rtts)
         this = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
         best = this if best is None else min(best, this)
     return out, best

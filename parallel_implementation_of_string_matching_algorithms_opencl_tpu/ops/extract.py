@@ -70,6 +70,41 @@ def minor_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.int32)
 
 
+def _tri_cumsum_rows_i32(x2: jnp.ndarray) -> jnp.ndarray:
+    """Exact int32 inclusive cumsum along rows of (R, C) via TWO triangular
+    f32 matmuls on 16-bit halves: per-half row sums stay < C * 2**16 <=
+    2**24, so each matmul is exact in f32; the recombination wraps mod
+    2**32 exactly like int32 addition."""
+    C = x2.shape[1]
+    tri = jnp.asarray(_tri_ones(C))
+    hi = jax.lax.shift_right_logical(x2, 16).astype(jnp.float32)
+    lo = (x2 & 0xFFFF).astype(jnp.float32)
+    chi = jnp.dot(hi, tri, precision=jax.lax.Precision.HIGHEST)
+    clo = jnp.dot(lo, tri, precision=jax.lax.Precision.HIGHEST)
+    return (chi.astype(jnp.int32) << 16) + clo.astype(jnp.int32)
+
+
+def cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact inclusive cumsum of int32[n] WITHOUT the cumsum primitive.
+
+    XLA's scan expander costs ~21 s of fixed compile time on this backend
+    (measured, exp notes) — an order of magnitude more than the matmuls
+    this recursion lowers to.  Depth is log128(n) (2M -> 3 levels)."""
+    n = x.shape[0]
+    if n <= 1:
+        return x
+    C = 128
+    R = -(-n // C)
+    xp = jnp.pad(x, (0, R * C - n)) if R * C != n else x
+    rows = _tri_cumsum_rows_i32(xp.reshape(R, C))
+    if R == 1:
+        return rows.reshape(-1)[:n]
+    totals = rows[:, -1]
+    prefix = cumsum_i32(totals)  # inclusive per-row totals
+    excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), prefix[:-1]])
+    return (rows + excl[:, None]).reshape(-1)[:n]
+
+
 def onehot_select(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """x[r, idx[r]] per row without a gather: compare+multiply+reduce
     against an iota (take_along_axis lowers to a ~25 ns/element gather on
@@ -188,7 +223,7 @@ def dense_extract(rows: jnp.ndarray, rc: jnp.ndarray, pos_base: jnp.ndarray,
     R = rows.shape[0]
     pc = _popcount4(rows)
     wcum = minor_cumsum(pc)  # (R, 128) inclusive
-    rank_base = jnp.cumsum(rc) - rc
+    rank_base = cumsum_i32(rc) - rc  # MXU cumsum: the scan expander costs ~21 s compile
 
     over = rc > T
     relevant = over & (rank_base < capacity)

@@ -37,11 +37,15 @@ from . import extract
 
 FILL = extract.FILL
 
-# Sparse gather width: fixed (no lax.switch tier ladder — a switch costs
-# ~0.3 ms even without operand copies).  8192 chunk rows = 64 MB of
-# gathered+verified words, ~0.5 ms on v5e; inputs with more candidate
-# chunks go dense.
+# Sparse gather width: fixed per text-size class (no lax.switch tier
+# ladder — a switch costs ~0.3 ms even without operand copies).  8192
+# chunk rows = 64 MB of gathered+verified words, ~0.5 ms on v5e; 4096
+# halves that for texts <= 256 MiB (whose candidate counts are
+# proportionally smaller — measured +16 GB/s on the BM headline); inputs
+# with more candidate chunks go dense, whose rescan is bounded anyway.
 SPARSE_CHUNKS = 8192
+SPARSE_CHUNKS_SMALL = 4096
+SMALL_TEXT_CHUNKS = 65536  # <= 256 MiB
 # Sparse second-level slot-overflow side-plane budget (rows with > DENSE_T
 # matches whose rank range intersects [0, capacity)); escalates 8x inside
 # dense_extract before giving up to the drain path.
@@ -109,7 +113,10 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
     M = jnp.asarray(Mnp)
     Lr = bs.shape[0] // 8
     chunkc = jnp.sum(bs.reshape(Lr, 8), axis=1)
-    cap_g = min(SPARSE_CHUNKS, Lr)
+    cap_g = min(
+        SPARSE_CHUNKS_SMALL if Lr <= SMALL_TEXT_CHUNKS else SPARSE_CHUNKS,
+        Lr,
+    )
     ncand = jnp.sum(chunkc > 0, dtype=jnp.int32)
     # Candidate chunks beyond the fixed gather width are the ONE condition
     # sparse cannot absorb (its extraction work is otherwise bounded by the
@@ -238,7 +245,7 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
         T = 4
         keys, vals = extract.slot_decode(union_nib, rc, pos_base, T, pay)
         # side plane: rows with > T union matches intersecting [0, capacity)
-        rank_base = jnp.cumsum(rc) - rc
+        rank_base = extract.cumsum_i32(rc) - rc
         relevant = (rc > T) & (rank_base < capacity)
         n_rel = jnp.sum(relevant, dtype=jnp.int32)
         OC = 2048

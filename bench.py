@@ -46,49 +46,45 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg,
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
 
-    # Timing (round-3 metrology): per-call host sync with an interleaved
-    # null op, taking the MEDIAN OF PAIRED DIFFERENCES (t_i - null_i)
-    # within each pass and the best pass across passes.  Rationale,
-    # all measured on this tunnel: (a) results must be consumed per call
-    # (int()) — verified to force the FULL executable (count-only vs
-    # all-outputs consumption time identically, ~2.2-2.8 ms for BM); (b)
-    # chained dependent dispatch UNDER-reports multi-output executables
-    # here (0.6 ms for a pipeline whose scan alone is >2 ms) and is not
-    # used; (c) subtracting a pass-level null median/min fabricated
-    # near-zero walls when the null spiked ("RK 311 GB/s") — PAIRED
-    # differences keep each subtraction inside one window, and their
-    # median tolerates outliers on both sides.  Operands differ per call
-    # (replay-proof); the box drifts ~1x-5x on a minutes scale, so the
-    # best pass wins (interference only ever ADDS time).
+    # Timing (round-3 metrology, validated against per-call ground truth):
+    # per pass, ``iters`` calls with DISTINCT n operands (replay-proof)
+    # are dispatched back-to-back with their counts accumulated into one
+    # device-side sum, which is consumed ONCE (one ~30 ms tunnel sync per
+    # pass instead of per call, so RTT jitter is amortized /iters).
+    # Consuming the count was verified to force the FULL executable
+    # (count-only vs all-outputs consumption measured identical).  Two
+    # rejected alternatives, both measured: pass-level null-RTT
+    # subtraction fabricated near-zero walls when the null spiked ("RK
+    # 311 GB/s" for a 4.6 ms kernel); feeding outputs into the next
+    # call's operand (chaining) UNDER-reports multi-output executables on
+    # this tunnel (0.6 ms for a pipeline whose scan alone exceeds 2 ms).
+    # The shared box drifts ~1x-5x on a minutes scale: best pass wins
+    # (interference only ever ADDS time).
     nul = jax.jit(lambda x: x + 1)
     int(nul(jnp.int32(0)))
-    count = 0
+    count = int(out[0])
     # Speed-of-light floor: a scan cannot beat HBM read bandwidth
-    # (~819 GB/s on v5e); readings below it are subtraction artifacts.
+    # (~819 GB/s on v5e); readings below it are artifacts — clamp + flag.
     sol = n / 850e9
-    valid, fallback = [], []
+    vals = []
     it_all = 0
     for _ in range(passes):
-        diffs = []
+        t0 = time.perf_counter()
+        s = jnp.int32(0)
         for _i in range(iters):
             it_all += 1
-            t0 = time.perf_counter()
             o = runner(text_dev, words_dev, jnp.int32(n - it_all), pat_dev,
                        tables_dev)
-            count = int(o[0])
-            t1 = time.perf_counter()
-            int(nul(jnp.int32(it_all)))
-            t2 = time.perf_counter()
-            diffs.append((t1 - t0) - (t2 - t1))
-        diffs.sort()
-        this = diffs[len(diffs) // 2]
-        (valid if this >= sol else fallback).append(max(this, sol))
-    # Every pass below the SOL floor => the null jitter swamped the device
-    # time; the clamped value is a floor, not a measurement — flag it.
-    timing_suspect = not valid
-    per_call = min(valid) if valid else min(fallback)
-    rtt = None
+            s = s + o[0]
+        int(s)
+        t1 = time.perf_counter()
+        int(nul(jnp.int32(it_all)))
+        t2 = time.perf_counter()
+        vals.append(((t1 - t0) - (t2 - t1)) / iters)
+    per_call = min(vals)
+    timing_suspect = per_call < sol
     per_call = max(per_call, sol)
+    rtt = None
 
     # VMEM-residency / working-set sanity from XLA's own memory analysis:
     # temp (scratch) memory far below n_bytes means the scan streams tiles
@@ -187,8 +183,7 @@ def main():
         results[algo] = r
         print(
             f"  {algo:12s} {r['bytes_per_s_per_chip'] / 1e9:8.2f} GB/s/chip  "
-            f"(best-of-{args.passes} passes, median paired diff over "
-            f"{args.iters}, "
+            f"(best-of-{args.passes} batch-summed passes x {args.iters}, "
             f"{r['wall_s'] * 1e3:.1f} ms, "
             f"count={r['match_count']}, compile {r['compile_s']:.1f}s)",
             file=sys.stderr,

@@ -157,15 +157,13 @@ def _stage(text_np, sharding=None):
 
 def _time_runner(runner, text_dev, words_dev, n, pat_dev, tb_dev, iters=6,
                  passes=3):
-    """(warm_output, per_call_s): warm call at exact n (parity source), then
-    per-call-synced calls at n-1-i (replay-proof) with the tunnel's null-op
-    RTT measured in interleave and subtracted — the same metrology bench.py
-    uses, including best-of-passes (the shared box drifts ~1x-5x on a
-    minutes scale; interference only ADDS time).  The result of every timed
-    call is CONSUMED (int()): the tunnel lazily elides unconsumed
-    executions, which is how a pipelined sync-once-at-the-end loop once
-    reported a physically impossible 1.4 TB/s for a 1 GB scan (v5e HBM
-    tops out ~0.8 TB/s)."""
+    """(warm_output, per_call_s): warm call at exact n (parity source),
+    then batch-summed timing passes — ``iters`` calls at distinct n
+    (replay-proof), counts accumulated into one device-side sum consumed
+    ONCE per pass (count consumption verified to force the full
+    executable), a null-op round trip subtracted, best pass kept.  The
+    same validated metrology as bench.py; see its docstring for the two
+    rejected alternatives and why."""
     import jax
     import jax.numpy as jnp
 
@@ -176,21 +174,22 @@ def _time_runner(runner, text_dev, words_dev, n, pat_dev, tb_dev, iters=6,
     best = None
     it = 0
     for _ in range(passes):
-        times, rtts = [], []
+        # batch-summed pass: one tunnel sync per ``iters`` calls — the
+        # same validated metrology as bench.py (per-call RTT jitter at
+        # 100 MB scales otherwise swamps the 1-2 ms device time).
+        t0 = time.perf_counter()
+        s = None
         for _i in range(iters):
             it += 1
-            t0 = time.perf_counter()
             o = runner(text_dev, words_dev, jnp.int32(n - 1 - (it % 64)),
                        pat_dev, tb_dev)
-            jax.block_until_ready(o)
-            times.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            int(nul(jnp.int32(it)))
-            rtts.append(time.perf_counter() - t0)
-        # min(rtt), not median: see bench.py — a spiked null-RTT median
-        # fabricates a near-zero wall and best-of-passes would select it.
-        rtt = min(rtts)
-        this = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
+            c = o[0] if getattr(o[0], "ndim", 0) == 0 else o[0].reshape(-1)[0]
+            s = c if s is None else s + c
+        int(s)
+        t1 = time.perf_counter()
+        int(nul(jnp.int32(it)))
+        t2 = time.perf_counter()
+        this = max(((t1 - t0) - (t2 - t1)) / iters, 1e-6)
         best = this if best is None else min(best, this)
     return out, best
 

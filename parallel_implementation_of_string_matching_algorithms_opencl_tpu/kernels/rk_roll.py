@@ -128,7 +128,8 @@ def _kernel(n_ref, tgt_ref, x3_ref, out_ref, *scratch, G, m, B, Bm, k,
 
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
-                interpret: bool, emit: str = "nib"):
+                interpret: bool, emit: str = "nib",
+                vma: frozenset = frozenset()):
     W8 = C // 32
     HS = max(1, -(-(m - 1) // 4))
     G = -(-(W8 + HS) // 8)
@@ -141,12 +142,12 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
         nbs = W8 // 128
         out_specs = pl.BlockSpec((8, nbs, 128), lambda i, n, t: (0, 0, i),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((8, nbs, L), jnp.int32)
+        out_shape = _swar._sds((8, nbs, L), jnp.int32, vma)
         scratch = [pltpu.VMEM((8, G8, 128), jnp.int32)]
     else:
         out_specs = pl.BlockSpec((8, G8, 128), lambda i, n, t: (0, 0, i),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((8, G8, L), jnp.int32)
+        out_shape = _swar._sds((8, G8, L), jnp.int32, vma)
         scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # n, targets
@@ -221,7 +222,8 @@ def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
         return None, 0
     x3e, tgt, B_i32, Bm_i32, Nk, cut = prep
     C = chunk_bytes
-    call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret)
+    call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret,
+                       vma=_swar.vma_of(x3e))
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
     return end_nibble3_to_start_nib(nibE, C // 8, m), cut
 
@@ -241,7 +243,7 @@ def rk_candidate_bsums(text_u8, n, targets, m, base: int, *,
     x3e, tgt, B_i32, Bm_i32, Nk, cut = prep
     C = chunk_bytes
     call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret,
-                       emit="bsums")
+                       emit="bsums", vma=_swar.vma_of(x3e))
     bs = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
     bs_flat = bs.transpose(2, 0, 1).reshape(-1)
     return bs_flat, cut

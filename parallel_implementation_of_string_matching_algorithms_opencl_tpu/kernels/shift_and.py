@@ -303,7 +303,7 @@ STEP_PATH = "auto"
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, interpret: bool,
                 emit: str = "nib", pat_key: bytes | None = None,
-                path: str = "auto"):
+                path: str = "auto", vma: frozenset = frozenset()):
     W8 = C // 32  # words per sub-chunk
     HS = max(1, -(-(m - 1) // 4))
     G = -(-(W8 + HS) // 8)
@@ -316,12 +316,12 @@ def _build_call(Nk: int, C: int, m: int, interpret: bool,
         nbs = W8 // 128
         out_specs = pl.BlockSpec((8, nbs, 128), lambda i, n: (0, 0, i),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((8, nbs, L), jnp.int32)
+        out_shape = _swar._sds((8, nbs, L), jnp.int32, vma)
         scratch = [pltpu.VMEM((8, G8, 128), jnp.int32)]
     else:
         out_specs = pl.BlockSpec((8, G8, 128), lambda i, n: (0, 0, i),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((8, G8, L), jnp.int32)
+        out_shape = _swar._sds((8, G8, L), jnp.int32, vma)
         scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # n (validity input for bsums mode)
@@ -422,7 +422,7 @@ def kmp_nib(text_u8, n, bt, m, *,
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)
     call = _build_call(Nk, C, m, interpret, pat_key=pat_key,
-                       path=STEP_PATH)
+                       path=STEP_PATH, vma=_swar.vma_of(x3e))
     nibE = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)
     cut = Nk - (m - 1) if m > 1 else Nk
     return end_nibble3_to_start_nib(nibE, C // 8, m), cut
@@ -460,7 +460,8 @@ def kmp_bsums(text_u8, n, bt, m, *,
         words = words[: Nk // 4]
     x3e = _layout(words, L, W, HS, G8)
     call = _build_call(Nk, C, m, interpret, emit="bsums",
-                       pat_key=pat_key, path=STEP_PATH)
+                       pat_key=pat_key, path=STEP_PATH,
+                       vma=_swar.vma_of(x3e))
     bs = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)  # (8, nbs, L)
     # Global 512B-block order: block [s, jb, l] covers byte
     # l*C + s*(C/8) + jb*512  ->  lane-major, then sub-chunk, then jb.

@@ -68,6 +68,24 @@ DEFAULT_CHUNK_BYTES = 8192  # C: bytes per chunk (VMEM-tuned on v5e)
 MIN_KERNEL_BYTES = 1 << 20  # below this the jnp path wins (compile+pad cost)
 
 
+def vma_of(x) -> frozenset:
+    """Varying-axes of a traced operand (empty outside a checked
+    shard_map).  pallas_call out_shapes inside shard_map(check_vma=True)
+    must carry the mesh axes they vary over; reading them off the operand
+    keeps the kernels mesh-agnostic (same trick as ops/vma.taint)."""
+    import jax as _jax
+
+    try:
+        return frozenset(_jax.typeof(x).vma)
+    except Exception:
+        return frozenset()
+
+
+def _sds(shape, dtype, vma: frozenset):
+    return (jax.ShapeDtypeStruct(shape, dtype, vma=vma) if vma
+            else jax.ShapeDtypeStruct(shape, dtype))
+
+
 def swar_supported(m: int, interpret: bool) -> bool:
     """Kernel path eligibility (platform checked separately)."""
     del interpret
@@ -430,7 +448,7 @@ def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, nxt_ref, cnt_ref,
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
                 Mkey: bytes, probes: tuple, interpret: bool,
-                nib_out: bool = True):
+                nib_out: bool = True, vma: frozenset = frozenset()):
     """mode: 'naive' | 'screened' | 'screened_dyn'.
 
     ``nib_out=False`` builds the bsums-only variant: the nibble plane lives
@@ -505,17 +523,17 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
         grid_spec=grid_spec,
         out_shape=(
             (
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-                jax.ShapeDtypeStruct((L, W), jnp.int32),
+                _sds((1, 1), jnp.int32, vma),
+                _sds((L, W), jnp.int32, vma),
                 # per-tile block sums, bs[tile][j, r] = matches in nib row
                 # r, lane block j (reordered to flat-block order by the
                 # caller)
-                jax.ShapeDtypeStruct((nt * max(W // 128, 8), 128), jnp.int32),
+                _sds((nt * max(W // 128, 8), 128), jnp.int32, vma),
             )
             if nib_out
             else (
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-                jax.ShapeDtypeStruct((nt * max(W // 128, 8), 128), jnp.int32),
+                _sds((1, 1), jnp.int32, vma),
+                _sds((nt * max(W // 128, 8), 128), jnp.int32, vma),
             )
         ),
         interpret=interpret,
@@ -593,7 +611,8 @@ def _run(text_u8, n, P, m, *, mode: str, chunk_bytes: int,
 
     x = as_words2d(text_u8, words, Nk, C)
     call = _build_call(Nk, C, m, nw, mode,
-                       Mnp.tobytes(), probes, interpret, emit_nib)
+                       Mnp.tobytes(), probes, interpret, emit_nib,
+                       vma=vma_of(x))
     # Clamp the kernel's validity to its own coverage: positions past
     # cut = Nk-(m-1) are re-scanned by the caller's tail, so the kernel
     # excludes them, making its nibbles AND block sums exactly the

@@ -81,9 +81,13 @@ def bench_algo(algo: str, text_np, n: int, pattern: bytes, iters: int, cfg,
         int(nul(jnp.int32(it_all)))
         t2 = time.perf_counter()
         vals.append(((t1 - t0) - (t2 - t1)) / iters)
-    per_call = min(vals)
-    timing_suspect = per_call < sol
-    per_call = max(per_call, sol)
+    # A pass whose null round trip spiked above its batched wall reads
+    # below the SOL floor — discard such passes; only if EVERY pass is an
+    # artifact do we clamp and flag (min() over raw vals would select
+    # exactly the artifact).
+    valid = [v for v in vals if v >= sol]
+    timing_suspect = not valid
+    per_call = min(valid) if valid else sol
     rtt = None
 
     # VMEM-residency / working-set sanity from XLA's own memory analysis:

@@ -171,7 +171,7 @@ def _time_runner(runner, text_dev, words_dev, n, pat_dev, tb_dev, iters=6,
     jax.block_until_ready(out)
     nul = jax.jit(lambda x: x + 1)
     int(nul(jnp.int32(0)))
-    best = None
+    vals = []
     it = 0
     for _ in range(passes):
         # batch-summed pass: one tunnel sync per ``iters`` calls — the
@@ -181,7 +181,7 @@ def _time_runner(runner, text_dev, words_dev, n, pat_dev, tb_dev, iters=6,
         s = None
         for _i in range(iters):
             it += 1
-            o = runner(text_dev, words_dev, jnp.int32(n - 1 - (it % 64)),
+            o = runner(text_dev, words_dev, jnp.int32(n - 1 - (it % 1024)),
                        pat_dev, tb_dev)
             c = o[0] if getattr(o[0], "ndim", 0) == 0 else o[0].reshape(-1)[0]
             s = c if s is None else s + c
@@ -189,9 +189,12 @@ def _time_runner(runner, text_dev, words_dev, n, pat_dev, tb_dev, iters=6,
         t1 = time.perf_counter()
         int(nul(jnp.int32(it)))
         t2 = time.perf_counter()
-        this = max(((t1 - t0) - (t2 - t1)) / iters, 1e-6)
-        best = this if best is None else min(best, this)
-    return out, best
+        vals.append(((t1 - t0) - (t2 - t1)) / iters)
+    # SOL guard, same as bench.py: a null-RTT spike makes a pass read
+    # below the HBM floor; discard those, clamp only if ALL are artifacts.
+    sol = n / 850e9
+    valid = [v for v in vals if v >= sol]
+    return out, (min(valid) if valid else sol)
 
 
 def _cap(estimate: float) -> int:

@@ -107,6 +107,11 @@ def main():
             "config": 5,
             "algo": f"{r.algo.split('@')[0]}_stream100",
             "n_bytes": size,
+            # ONE shared stream: wall covers disk read + ship + ALL FOUR
+            # algorithms' scans + resolve — it is the run's aggregate, not
+            # this algorithm's scan rate (see wall_scope; per-algorithm
+            # scan rates are the single-chip BENCH_DETAIL numbers).
+            "wall_scope": "all-algos+io",
             "wall_s": wall,
             "bytes_per_s": size / wall,
             "match_count": int(r.count),

@@ -65,7 +65,7 @@ def _kernel(n_ref, tgt_ref, x3_ref, out_ref, *scratch, G, m, B, Bm, k,
     per-512-byte-block CANDIDATE-start counts (validity applied; the
     end->start fold + clamp are shift_and._end_to_start_bsums); candidates
     are exactly verified downstream by the window-compare sparse
-    reconstruction (ops/emit.bsums_to_matches_screened)."""
+    reconstruction (ops/reconstruct.extract_region)."""
     from .shift_and import _end_to_start_bsums
 
     nibE_ref = scratch[0] if emit == "bsums" else out_ref
@@ -234,7 +234,7 @@ def rk_candidate_bsums(text_u8, n, targets, m, base: int, *,
     """(candidate block sums int32[Nk/512], cut) — the bsums-only rolling
     screen, or (None, 0) below the kernel threshold.  Counts are HASH-HIT
     counts per 512-byte block (validity-clamped); the consumer must verify
-    (ops/emit.bsums_to_matches_screened window-compares candidate blocks,
+    (ops/reconstruct.extract_region word-compares candidate chunks,
     which both verifies and recounts exactly)."""
     prep = _prepare(text_u8, n, targets, m, base, chunk_bytes, words,
                     need_whole_blocks=True)

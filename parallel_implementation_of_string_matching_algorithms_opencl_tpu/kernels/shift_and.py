@@ -438,7 +438,7 @@ def kmp_bsums(text_u8, n, bt, m, *,
     per 512-byte block entirely in VMEM (``_end_to_start_bsums``), writing
     only Nk/512 int32 to HBM — kernel traffic drops from read N + write N
     to read N + write N/128.  Offsets are reconstructed sparsely by
-    ops/emit.bsums_to_matches (window-compare ground truth == the
+    ops/reconstruct.extract_region (window-compare ground truth == the
     automaton's match set)."""
     N = text_u8.shape[0]
     C = chunk_bytes

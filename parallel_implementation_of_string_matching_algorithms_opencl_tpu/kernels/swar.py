@@ -396,7 +396,7 @@ def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref, nib_ref,
     tile pipeline even when ~no tile hits (measured 3.75 ms vs naive's
     1.75 ms straight-line chain at 256 MiB); this kernel streams pure
     compares and delegates exact verification to the window-compare
-    sparse reconstruction (ops/emit.bsums_to_matches_screened — the same
+    sparse reconstruction (ops/reconstruct.extract_region — the same
     candidates-are-a-superset contract as the Rabin-Karp hash screen,
     including the exact recount and the overflow/truncation flag)."""
     ext = _stage_ext(x_ref, nxt_ref, ext_ref, W)
@@ -455,7 +455,7 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
     in a VMEM scratch instead of an HBM output, so the kernel's HBM traffic
     drops from (read N + write N) to (read N + write N/128) — the
     emission-prepass shave (round-1 verdict, next #8).  Offsets are then
-    reconstructed sparsely from the block sums (ops/emit.bsums_to_matches).
+    reconstructed sparsely from the block sums (ops/reconstruct).
     """
     W = C // 4
     L = Nk // C
@@ -652,7 +652,7 @@ def naive_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     the text buffer) to skip the device repack.  See ops/emit.py
     nibble_to_matches for the consumption side.  ``emit_nib=False`` keeps
     the nibble plane in VMEM scratch (nib element None) and halves kernel
-    HBM traffic; consume via ops/emit.bsums_to_matches."""
+    HBM traffic; consume via ops/reconstruct.extract_region."""
     return _run(text_u8, n, P, m, mode="naive", chunk_bytes=chunk_bytes,
                 interpret=interpret, words=words, emit_nib=emit_nib)
 
@@ -687,7 +687,7 @@ def screened_nib(text_u8, n, P, m, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
 
     ``screen_only=True`` (requires ``emit_nib=False``): the returned block
     sums count probe-screen CANDIDATES, not matches — no in-kernel verify
-    runs; consume via ops/emit.bsums_to_matches_screened."""
+    runs; consume via ops/reconstruct.extract_region."""
     if screen_only:
         assert not emit_nib, "screen_only is a bsums-only mode"
         mode = "screen_cand"

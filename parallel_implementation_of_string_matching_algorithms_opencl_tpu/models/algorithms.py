@@ -101,7 +101,7 @@ class RabinKarpMatcher(Matcher):
     a true O(1)/byte roll with the departing byte read at a static lag
     through a front pad, emitting candidate nibbles/block-sums that the
     window-compare sparse reconstruction verifies exactly
-    (ops/emit.bsums_to_matches_screened).  The jnp shift-chain hash serves
+    (ops/reconstruct.extract_region).  The jnp shift-chain hash serves
     CPU/small inputs and the multi-pattern shared-hash path
     (models/multi.py).
     """

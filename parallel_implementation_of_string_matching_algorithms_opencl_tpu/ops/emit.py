@@ -146,33 +146,6 @@ def _rank_select_bool(mask: jnp.ndarray, count, capacity: int):
     return jnp.where(r < count, pos, FILL)
 
 
-def _rank_select_nonzero(vals: jnp.ndarray, count, capacity: int):
-    """(positions, values) of the first ``capacity`` NONZERO entries of
-    int32[n] ``vals`` (ascending, FILL/0 padded) — the packed-plane variant
-    of ``_rank_select_bool``: one rank pass extracts a position AND its
-    payload word, which is what lets k patterns share a single extraction
-    (bit p of the payload = "pattern p starts here")."""
-    n = vals.shape[0]
-    B = _BLOCK
-    nb = -(-n // B)
-    if n % B:
-        vals = jnp.pad(vals, (0, nb * B - n))
-    rows_all = vals.reshape(nb, B)
-    bsum = jnp.sum(rows_all != 0, axis=1, dtype=jnp.int32)
-    bpre = jnp.cumsum(bsum, dtype=jnp.int32)  # inclusive
-    r = jnp.arange(capacity, dtype=jnp.int32)
-    bi_c = _rank_to_block(bpre, bsum, nb, capacity)
-    prev = bpre[bi_c] - bsum[bi_c]
-    rows = rows_all[bi_c]                       # (capacity, B)
-    wcum = jnp.cumsum((rows != 0).astype(jnp.int32), axis=1)
-    r_in = (r - prev)[:, None]
-    wi = jnp.sum((wcum <= r_in).astype(jnp.int32), axis=1)
-    pos = bi_c * B + wi
-    val = jnp.take_along_axis(rows, wi[:, None], axis=1)[:, 0]
-    ok = r < count
-    return jnp.where(ok, pos, FILL), jnp.where(ok, val, 0)
-
-
 def mask_to_matches_sorted(mask: jnp.ndarray, capacity: int):
     """(count, offsets[capacity], overflow) for a SMALL bool mask via one
     sort (ops/extract economics: ~1-1.7 ns/element beats the per-rank
@@ -279,32 +252,6 @@ def nibble_to_matches(nib: jnp.ndarray, limit, capacity: int, bsums=None):
 
 BLOCK_BYTES = 512  # kernel block-sum granularity (128 int32 words)
 
-# Sparse-extraction gather tiers: the nonzero-block gather runs at the
-# smallest tier that fits the runtime block count (lax.switch).  Graded
-# tiers matter for screened candidates: a few thousand probe/hash false
-# positives overflowing a single small tier used to jump straight to the
-# full-capacity gather (65536 row-gathers ~ 13 ms for a 2840-candidate
-# run — measured; the graded ladder makes it ~1.6 ms).
-_SMALL_BLOCKS = 1024
-_BLOCK_TIERS = (1024, 8192, 65536, 262144)
-
-
-def _tiered_block_extract(extract, nblk, cap_full: int):
-    """Run ``extract(cap_b)`` at the smallest adequate gather tier.
-
-    ``extract`` must return identically-shaped pytrees for any cap_b
-    (offset buffers are capacity-sized, not cap_b-sized)."""
-    tiers = [t for t in _BLOCK_TIERS if t < cap_full] + [cap_full]
-    if len(tiers) == 1:
-        return extract(tiers[0])
-    bucket = sum(
-        (nblk > jnp.int32(t)).astype(jnp.int32) for t in tiers[:-1]
-    )
-    return jax.lax.switch(
-        bucket, [lambda t=t: extract(t) for t in tiers]
-    )
-
-
 def window_start_mask(windows: jnp.ndarray, pattern: jnp.ndarray):
     """bool[B, L] start mask per gathered window row, L = row_len - m + 1.
 
@@ -332,115 +279,6 @@ def window_start_mask(windows: jnp.ndarray, pattern: jnp.ndarray):
     return jax.lax.fori_loop(
         0, m, body, _vma.taint(jnp.ones((B, L), jnp.bool_), windows)
     )
-
-
-def _gather_candidate_windows(blk, rows, cap_b: int, nb: int, row_len: int,
-                              limit):
-    """Gather the first ``cap_b`` nonzero-block rows ascending, each with
-    its right-halo row appended (m-1 <= BLOCK_BYTES), and build the shared
-    validity mask.  The single implementation behind all three block-sparse
-    reconstructions (single/screened/multi) — the gids+1 clamp and fill-row
-    semantics must stay identical across them.
-
-    Returns (gids, win, vmask): gids int32[cap_b] block ids (``nb`` fill),
-    win uint8[cap_b, row_len] window rows, vmask bool[cap_b, L] masking
-    columns past ``limit`` and whole fill rows.  The clamp on gids+1 can
-    only misfeed window CONTENT for positions past ``limit`` (windows of
-    valid starts end within rows by the n-m clamp), and those are masked.
-    """
-    L = BLOCK_BYTES
-    gids = masked_positions(blk, cap_b, fill=nb)
-    gc = jnp.clip(gids, 0, nb - 1)
-    win = jnp.concatenate(
-        [
-            jnp.take(rows, gc, axis=0),
-            jnp.take(rows, jnp.clip(gc + 1, 0, nb - 1), axis=0),
-        ],
-        axis=1,
-    )[:, :row_len]
-    gpos = (gids * L)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
-    vmask = (gpos <= limit) & (gids < nb)[:, None]
-    return gids, win, vmask
-
-
-def _flat_ranks_to_offsets(sm, c_sm, gids, cap_b: int, capacity: int):
-    """Rank-select the flattened (cap_b, L) start mask and map flat ranks
-    back to global byte offsets (rows ascend and columns ascend within a
-    row, so flat rank order IS global offset order).  Count-tiered: the
-    per-rank row gather costs ~0.2 us/rank on v5e, so extracting at the
-    full configured capacity burned ~13 ms even for a 976-match run."""
-    L = BLOCK_BYTES
-    off_flat = _adaptive(
-        lambda cap: _rank_select_bool(sm.reshape(-1), c_sm, cap),
-        c_sm, capacity,
-    )
-    row = jnp.clip(off_flat // L, 0, cap_b - 1)
-    pos = gids[row] * L + off_flat % L
-    return jnp.where(off_flat >= 0, pos, FILL)
-
-
-def _screened_count(c_sm, nblk, cap_b: int, nb: int, text, pattern, limit):
-    """Exact global count for a screened gather: the in-gather recount when
-    every candidate block was gathered, else the dense slab recount.
-    Returns (count, truncated) — truncated means ungathered candidate
-    blocks may hide matches from the offset buffer."""
-    if cap_b >= nb:
-        return c_sm, jnp.bool_(False)
-    count = jax.lax.cond(
-        nblk <= cap_b,
-        lambda _: c_sm,
-        lambda _: _dense_block_count(text, pattern, nb, limit),
-        operand=None,
-    )
-    return count, nblk > cap_b
-
-
-def bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
-                     pattern: jnp.ndarray, limit, capacity: int):
-    """(count, offsets[capacity], overflow) from per-block popcounts ALONE.
-
-    ``bs``: int32[NB] match-start counts per BLOCK_BYTES-byte block with all
-    validity (n-m clamp, kernel coverage cut) already applied in-kernel.
-    The kernel never materializes a position mask in HBM; offsets are
-    reconstructed here by gathering ONLY the blocks that contain matches
-    and re-deriving their start positions by direct window compare — the
-    exact-match truth every algorithm's match set equals.  Work and memory
-    scale with the match count (O(count) blocks of 512 B), not with N:
-    this removes the O(N) nibble write + read that cost the naive e2e path
-    ~50% of its wall time (round-1 verdict, next #8).
-
-    ``limit``: maximum valid start position (re-applied here because the
-    recompute sees raw window-compare truth, including positions the kernel
-    clamped — e.g. NUL-suffixed patterns matching in the padding tail).
-    """
-    nb = bs.shape[0]
-    L = BLOCK_BYTES
-    m = pattern.shape[0]
-    assert m - 1 <= L, "sparse reconstruction needs m-1 <= BLOCK_BYTES"
-    row_len = L + m - 1
-    count = jnp.sum(bs, dtype=jnp.int32)
-    blk = bs > 0
-    nblk = jnp.sum(blk, dtype=jnp.int32)
-
-    # Block rows as a 2-D view: row gathers move contiguous 512-byte lanes
-    # (XLA lowers take-along-rows to sliced DMA), unlike an elementwise
-    # int-index gather of cap_b*row_len scalars, which ran at ~35 MB/s on
-    # v5e and erased the kernel-side win (measured: naive e2e 22 ms sparse
-    # vs 7.8 ms nib at 256 MiB before this rewrite).
-    rows = text[: nb * L].reshape(nb, L)
-
-    def extract(cap_b: int):
-        gids, win, vmask = _gather_candidate_windows(
-            blk, rows, cap_b, nb, row_len, limit
-        )
-        sm = window_start_mask(win, pattern) & vmask  # (cap_b, L)
-        return _flat_ranks_to_offsets(sm, count, gids, cap_b, capacity)
-
-    # Every nonzero block holds >= 1 match, so ``capacity`` blocks always
-    # suffice to produce the first ``capacity`` offsets (incl. overflow).
-    cap_full = min(capacity, nb)
-    offsets = _tiered_block_extract(extract, nblk, cap_full)
-    return count, offsets, count > capacity
 
 
 def _dense_block_count(text: jnp.ndarray, pattern: jnp.ndarray, nb: int,
@@ -479,127 +317,6 @@ def _dense_block_count(text: jnp.ndarray, pattern: jnp.ndarray, nb: int,
     from . import vma as _vma
 
     return jax.lax.fori_loop(0, nsl, body, _vma.taint(jnp.int32(0), text))
-
-
-def bsums_to_matches_screened(bs: jnp.ndarray, text: jnp.ndarray,
-                              pattern: jnp.ndarray, limit, capacity: int):
-    """(count, offsets[capacity], overflow) from per-block CANDIDATE
-    counts (hash-screen hits, validity-clamped) — the Rabin-Karp sparse
-    consumer.  Candidate blocks are gathered in ascending order and
-    window-compared, which verifies AND recounts in one pass; sum(bs)
-    cannot be trusted as a match count (hash false positives).
-
-    Exactness: candidate blocks are a superset of match blocks, so when
-    they all fit the gather (the non-adversarial case, since candidates ~
-    matches at a 2**-32/word false-positive rate) the recount is the exact
-    global count and offsets are the true first `capacity` matches.  When
-    they do NOT all fit, the count falls back to a dense slab recount
-    (_dense_block_count, exact) and offsets still come from the earliest
-    candidate blocks — ascending true matches, complete through the last
-    gathered block.
-    """
-    nb = bs.shape[0]
-    L = BLOCK_BYTES
-    m = pattern.shape[0]
-    assert m - 1 <= L, "sparse reconstruction needs m-1 <= BLOCK_BYTES"
-    row_len = L + m - 1
-    blk = bs > 0
-    nblk = jnp.sum(blk, dtype=jnp.int32)
-    rows = text[: nb * L].reshape(nb, L)
-
-    cap_full = min(max(capacity, _SMALL_BLOCKS), nb)
-
-    def extract(cap_b: int):
-        gids, win, vmask = _gather_candidate_windows(
-            blk, rows, cap_b, nb, row_len, limit
-        )
-        sm = window_start_mask(win, pattern) & vmask
-        c_sm = jnp.sum(sm, dtype=jnp.int32)
-        offsets = _flat_ranks_to_offsets(sm, c_sm, gids, cap_b, capacity)
-        # Candidate blocks beyond the gather can hold matches the offsets
-        # missed even when count <= capacity (pure-false-positive blocks
-        # displace match blocks) — ``trunc`` surfaces that as overflow so
-        # drain/windowed re-extraction recovers them.
-        count, trunc = _screened_count(
-            c_sm, nblk, cap_b, nb, text, pattern, limit
-        )
-        return count, offsets, trunc
-
-    count, offsets, trunc = _tiered_block_extract(extract, nblk, cap_full)
-    return count, offsets, (count > capacity) | trunc
-
-
-def multi_bsums_to_matches(bs: jnp.ndarray, text: jnp.ndarray,
-                           patterns: jnp.ndarray, limit, capacity: int):
-    """Stacked (counts[k], offsets[k, capacity], overflows[k]) from ONE
-    union candidate-bsums plane (the multi-pattern rolling screen).
-
-    The candidate-block gather is hoisted OUT of the per-pattern work and
-    done once per tier — per-pattern `bsums_to_matches_screened` calls
-    would each re-gather the union blocks inside their own cond branches,
-    which XLA cannot CSE across (measured 8x redundant ~100 MB gathers on
-    the 1 GB / 8-pattern config).  The rank-select is ALSO shared: the k
-    start masks pack into one int32 plane (bit p = pattern p starts here)
-    and a single ``_rank_select_nonzero`` pass extracts the union
-    positions + membership words; each pattern then compacts its subset
-    with a dense ``jnp.sort`` over the capacity-sized buffer — per-rank
-    row gathers cost ~0.2 us on v5e, so k separate full-capacity
-    rank-selects were ~8x this cost on the 1 GB / 8-pattern config.
-    """
-    INF = jnp.int32(0x7FFFFFFF)
-    k, m = patterns.shape
-    nb = bs.shape[0]
-    L = BLOCK_BYTES
-    assert m - 1 <= L
-    assert k <= 31, "packed-plane extraction holds one pattern per bit"
-    row_len = L + m - 1
-    blk = bs > 0
-    nblk = jnp.sum(blk, dtype=jnp.int32)
-    rows = text[: nb * L].reshape(nb, L)
-    cap_full = min(max(capacity, _SMALL_BLOCKS), nb)
-
-    def extract(cap_b: int):
-        gids, win, vmask = _gather_candidate_windows(
-            blk, rows, cap_b, nb, row_len, limit
-        )
-        counts, sms = [], []
-        trunc = jnp.bool_(False)
-        pk = None
-        for p in range(k):
-            sm = window_start_mask(win, patterns[p]) & vmask
-            sms.append(sm)
-            plane = sm.astype(jnp.int32) << p
-            pk = plane if pk is None else pk | plane
-            count, trunc = _screened_count(
-                jnp.sum(sm, dtype=jnp.int32), nblk, cap_b, nb, text,
-                patterns[p], limit,
-            )
-            counts.append(count)
-        union = jnp.sum(pk != 0, dtype=jnp.int32)
-        off_flat, uval = _adaptive(
-            lambda cap: _rank_select_nonzero(pk.reshape(-1), union, cap),
-            union, capacity, fills=(FILL, 0),
-        )
-        row = jnp.clip(off_flat // L, 0, cap_b - 1)
-        gpos = jnp.where(
-            off_flat >= 0, gids[row] * L + off_flat % L, INF
-        )
-        offs = []
-        for p in range(k):
-            keys = jnp.where(((uval >> p) & 1) == 1, gpos, INF)
-            srt = jnp.sort(keys)
-            offs.append(jnp.where(srt != INF, srt, FILL))
-        # A truncated union extraction can hide pattern p's matches even
-        # when count_p <= capacity — fold it into the overflow flag so
-        # drain/windowed re-extraction recovers them.
-        trunc = trunc | (union > capacity)
-        return (jnp.stack(counts), jnp.stack(offs),
-                jnp.broadcast_to(trunc, (k,)))
-
-    counts, offsets, trunc = _tiered_block_extract(extract, nblk, cap_full)
-    # Ungathered candidate blocks can hide matches from the offsets even
-    # at count <= capacity — flag as overflow so drain recovers them.
-    return counts, offsets, (counts > capacity) | trunc
 
 
 def nibble_positions(nib: jnp.ndarray, limit, capacity: int, fill: int):

@@ -221,8 +221,6 @@ def dense_extract(rows: jnp.ndarray, rc: jnp.ndarray, pos_base: jnp.ndarray,
     (count stays exact; the drain path recovers offsets windowed).
     """
     R = rows.shape[0]
-    pc = _popcount4(rows)
-    wcum = minor_cumsum(pc)  # (R, 128) inclusive
     rank_base = cumsum_i32(rc) - rc  # MXU cumsum: the scan expander costs ~21 s compile
 
     over = rc > T
@@ -231,24 +229,8 @@ def dense_extract(rows: jnp.ndarray, rc: jnp.ndarray, pos_base: jnp.ndarray,
     big = 8 * overflow_rows
     ok = n_rel <= big
 
-    # --- T-slot keys for rows with rc <= T -------------------------------
-    slot_keys = []
-    for j in range(T):
-        wi = jnp.sum((wcum <= j).astype(jnp.int32), axis=1)
-        wi_c = jnp.minimum(wi, rows.shape[1] - 1)
-        word = onehot_select(rows, wi_c)
-        before = jnp.where(wi_c > 0, onehot_select(wcum, wi_c - 1), 0)
-        r_w = j - before
-        c0 = word & 1
-        c01 = c0 + ((word >> 1) & 1)
-        c012 = c01 + ((word >> 2) & 1)
-        bit = jnp.where(r_w < c0, 0,
-                        jnp.where(r_w < c01, 1,
-                                  jnp.where(r_w < c012, 2, 3)))
-        pos = pos_base + wi_c * 4 + bit
-        valid = (j < rc) & ~over
-        slot_keys.append(jnp.where(valid, pos, INF))
-    slot_flat = jnp.stack(slot_keys, axis=1).reshape(-1)
+    # T-slot keys for rows with rc <= T (XLA CSEs the pc/wcum recompute)
+    slot_flat = slot_decode(rows, rc, pos_base, T)[0].reshape(-1)
 
     # --- full decode of relevant overflowed rows (8x-escalating tier) ----
     def side(oc_rows: int):

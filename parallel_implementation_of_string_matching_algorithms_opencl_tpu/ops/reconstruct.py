@@ -202,6 +202,11 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
     from . import emit as _emit
 
     k, m = patterns.shape
+    # One payload plane holds one pattern per int32 bit (sign bit
+    # excluded); callers with larger sets split into groups of 31
+    # (models/multi.py) — a silent k=40 here would shift past bit 31 and
+    # drop patterns without any error.
+    assert k <= 31, "extract_region_multi holds <= 31 patterns per call"
     Mnp = swar.mask_words(m)
     M = jnp.asarray(Mnp)
     nw = Mnp.shape[1]

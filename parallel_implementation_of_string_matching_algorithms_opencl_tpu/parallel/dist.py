@@ -299,7 +299,12 @@ class DistributedMultiMatcher:
     def match(self, data) -> list[MatchResult]:
         arr = as_byte_array(data)
         n = len(arr)
-        padded = pad_to_multiple(arr, self.config.pad_multiple * self.n_shards)
+        # Tile-multiple shards, same as DistributedMatcher.match: the old
+        # pad_multiple*d padding left a ~MB-scale jnp-scanned tail per
+        # shard per call.
+        tile = int(np.lcm(self.config.pad_multiple,
+                          128 * self.config.pallas_chunk_bytes))
+        padded = pad_to_multiple(arr, tile * self.n_shards)
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         text_dev = jax.device_put(jnp.asarray(padded), sharding)
         words_dev = jax.device_put(

@@ -607,6 +607,43 @@ def test_multi_sparse_truncation_flagged():
     assert got == exp_rare or r_rare.overflow
 
 
+def test_sparse_giveup_blanks_offsets_and_drain_recovers():
+    # >8x-escalation relevant overflow rows (many 512B blocks each holding
+    # 9+ matches, all within capacity's rank window) force the sparse
+    # extractor's give-up: offsets must come back EMPTY (all-FILL, never a
+    # gap-hiding prefix), count exact, overflow set — and match_all must
+    # recover every offset via the windowed drain.
+    C = 4096
+    tile = 128 * C
+    # > 4096 blocks (the 8x-escalated side plane) of rc=9 rows, all inside
+    # the capacity rank window, while candidate CHUNKS stay well under the
+    # sparse gather width (so the dense rescan does not take over — its
+    # own bigger side plane would absorb this shape).
+    data = bytearray(gen_english(5 * tile + 100, seed=21))
+    pat = b"GVUP"
+    n_blocks = len(data) // 512
+    for b in range(n_blocks - 1):
+        for j in range(9):
+            off = b * 512 + j * 52
+            data[off : off + 4] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert len(expected) > 4096 * 2
+    cfg = CFG.replace(emission="sparse", pallas_chunk_bytes=C,
+                      capacity=1 << 20)
+    m = NaiveMatcher(pat, cfg)
+    r = m.match(text)
+    assert r.count == len(expected)  # count exact regardless
+    # either the extractor handled it, or it gave up CLEANLY
+    if r.overflow:
+        assert list(r.offsets) == expected[: len(r.offsets)]
+    else:
+        assert list(r.offsets) == expected
+    ra = m.match_all(text)
+    assert ra.count == len(expected)
+    assert [int(x) for x in ra.offsets] == expected
+
+
 def test_multi_pattern_64_groups_exact():
     # k > 31 exceeds one payload plane's bit budget; the extraction runs in
     # groups of 31 against the shared union screen (round-2 VERDICT next

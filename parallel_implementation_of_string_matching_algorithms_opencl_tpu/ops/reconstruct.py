@@ -279,14 +279,24 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
                 ((uval >> p) & 1) == 1, upos, jnp.int32(extract.INF)
             )
             sp = jax.lax.sort(keyp)
-            offs.append(jnp.where(sp == extract.INF, jnp.int32(FILL), sp))
+            spo = jnp.where(sp == extract.INF, jnp.int32(FILL), sp)
+            # ~ok (side-plane overflow) loses rows beyond OC entirely —
+            # a sorted compaction would hide the mid-stream gaps, so
+            # blank the buffer (mirrors extract_region's give-up path;
+            # valid_prefix/drain consumers then see all-FILL, not a
+            # clean-looking gapped prefix).
+            offs.append(jnp.where(ok, spo, jnp.int32(FILL)))
         # Per-pattern counts: from the sorted union buffer when it holds
         # every union position (the common case — one cheap pass), else an
         # exact recount over the payload planes (cond keeps the ~8 ms
-        # k*4-plane popcount off the hot path).
+        # k*4-plane popcount off the hot path).  The buffer is only
+        # complete when ok too: on side-plane overflow the rows past OC
+        # never entered it, so counting membership bits there would
+        # undercount — the pay-plane recount is exact here since every
+        # candidate block was gathered (nblk <= cap_b on this branch).
         uvalid = jnp.where(upos != extract.INF, uval, 0)
         counts = jax.lax.cond(
-            union_count <= capacity,
+            ok & (union_count <= capacity),
             lambda: jnp.stack([
                 jnp.sum((uvalid >> p) & 1, dtype=jnp.int32)
                 for p in range(k)

@@ -168,3 +168,52 @@ def test_sort_keys_to_offsets_pads_and_fills():
                                 np.int32))
     out = np.asarray(extract.sort_keys_to_offsets(keys, 8))
     assert list(out) == [3, 5, 7, -1, -1, -1, -1, -1]
+
+
+def test_extract_region_multi_sideplane_giveup_counts_exact():
+    # Regression (round-3 ADVICE high/medium): >OC(2048) relevant
+    # slot-overflow rows while the union still fits capacity.  Counts must
+    # stay EXACT (pay-plane recount — the sorted buffer is missing every
+    # row past the side plane) and offsets must come back all-FILL (a
+    # sorted compaction would hide mid-stream gaps), with trunc=True.
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import (
+        swar,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.ops import (
+        reconstruct,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+        DEFAULT_CONFIG,
+    )
+
+    nb = 2104  # blocks of 512 B (multiple of 8 -> word rows exist)
+    hot = 2100  # blocks with >T=4 union matches (> OC = 2048)
+    pats = [b"AAAA", b"BBBB"]
+    text = np.full(nb * 512, ord("x"), np.uint8)
+    w0, w1 = 0, 0
+    for b in range(hot):
+        for j in range(5):  # 5 union matches/block > T
+            text[b * 512 + 16 * j : b * 512 + 16 * j + 4] = ord("A")
+            w0 += 1
+        if b % 2 == 0:
+            text[b * 512 + 128 : b * 512 + 132] = ord("B")
+            w1 += 1
+    n = nb * 512
+    m = 4
+    bs = np.zeros(nb, np.int32)
+    bs[:hot] = 5 + (np.arange(hot) % 2 == 0)
+    x2d = jnp.asarray(text.view(np.int32).reshape(-1, 1024))
+    P_all = jnp.asarray(
+        np.stack([swar.pattern_words(np.frombuffer(p, np.uint8))[0]
+                  for p in pats])
+    )
+    patterns = np.stack([np.frombuffer(p, np.uint8) for p in pats])
+    capacity = 16384  # > union count (11550), rank_base < capacity all rows
+    counts, offs, trunc = reconstruct.extract_region_multi(
+        jnp.asarray(bs), x2d, jnp.asarray(text), n, patterns, P_all,
+        jnp.int32(n - m), capacity, DEFAULT_CONFIG,
+    )
+    counts, offs, trunc = map(np.asarray, (counts, offs, trunc))
+    assert counts[0] == w0 and counts[1] == w1
+    assert np.all(trunc)
+    assert np.all(offs == reconstruct.FILL)

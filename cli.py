@@ -47,11 +47,18 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--drain", action="store_true",
                     help="guarantee ALL offsets even past --capacity "
                          "(windowed re-extraction; single-device only)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="run collectively across the JAX process group "
+                         "(topology from TPUMATCH_COORDINATOR / "
+                         "TPUMATCH_NUM_PROCESSES / TPUMATCH_PROCESS_ID or "
+                         "TPU pod autodetection); combine with --stream "
+                         "for per-host chunked streaming (config 5 scale)")
     return ap
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    ap = build_parser()
+    args = ap.parse_args(argv)
 
     import jax
 
@@ -77,7 +84,7 @@ def main(argv=None) -> int:
     else:
         patterns = [p.encode("utf-8") for p in args.pattern]
 
-    if args.drain and (args.stream or args.distributed):
+    if args.drain and (args.stream or args.distributed or args.multihost):
         # Refuse rather than silently return a truncated offset list: the
         # drain (re-extract EVERY offset past capacity) is only wired into
         # the single-device match() path.
@@ -85,7 +92,21 @@ def main(argv=None) -> int:
                  "(without --stream/--distributed); raise --capacity instead")
 
     t0 = time.perf_counter()
-    if args.stream:
+    if args.stream and args.multihost:
+        from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.multihost import (
+            match_multihost_streaming,
+        )
+
+        out = match_multihost_streaming(
+            args.textfile,
+            patterns if len(patterns) > 1 else patterns[0],
+            algo=args.algo,
+            chunk_bytes=args.chunk_mb << 20,
+            manifest_path=args.manifest,
+            resume=args.resume,
+        )
+        results = out if isinstance(out, list) else [out]
+    elif args.stream:
         out = match_stream(
             args.textfile,
             patterns if len(patterns) > 1 else patterns[0],
@@ -95,6 +116,13 @@ def main(argv=None) -> int:
             resume=args.resume,
         )
         results = out if isinstance(out, list) else [out]
+    elif args.multihost:
+        from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.multihost import (
+            match_multihost,
+        )
+
+        out = match_multihost(args.textfile, patterns[0], algo=args.algo)
+        results = [out]
     else:
         text = load_file(args.textfile)
         overrides = {"capacity": args.capacity}

@@ -26,6 +26,7 @@ fixed-capacity ``all_gather`` (BASELINE.json:5).
 from .api import match, match_distributed, MatchResult, available_algorithms
 from .models.base import Matcher
 from .models.registry import get_matcher, register_matcher
+from .parallel.multihost import match_multihost, match_multihost_streaming
 from .parallel.streaming import match_stream
 from .utils.config import MatchConfig
 
@@ -34,6 +35,8 @@ __version__ = "0.1.0"
 __all__ = [
     "match",
     "match_distributed",
+    "match_multihost",
+    "match_multihost_streaming",
     "match_stream",
     "MatchResult",
     "Matcher",

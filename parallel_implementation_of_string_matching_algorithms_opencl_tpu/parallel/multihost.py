@@ -110,6 +110,142 @@ def load_host_slice(path: str, m: int, process_id: int | None = None,
     return arr, offset, owned
 
 
+def _allgather_ragged_i64(local: "np.ndarray", pc: int) -> "np.ndarray":
+    """Two-phase count-sized all-gather of ragged int64 rows over DCN.
+
+    Phase 1 gathers only the per-host lengths; phase 2 gathers buffers
+    padded to the MAX length — not a fixed worst-case capacity — so DCN
+    traffic scales with the actual result size (BASELINE.json:5 >=90%
+    scaling target; the device-mesh analogue lives in parallel/dist.py).
+    Rows concatenate in process order; with hosts owning ascending file
+    ranges and per-host rows sorted, the result is globally sorted.
+    """
+    from jax.experimental import multihost_utils
+
+    local = np.asarray(local, np.int64)
+    lens = np.asarray(
+        multihost_utils.process_allgather(
+            np.array([len(local)], np.int64), tiled=False
+        )
+    ).reshape(pc)
+    mx = int(lens.max())
+    if mx == 0:
+        return np.empty(0, np.int64)
+    buf = np.full(mx, -1, np.int64)
+    buf[: len(local)] = local
+    rows = np.asarray(
+        multihost_utils.process_allgather(buf, tiled=False)
+    ).reshape(pc, mx)
+    return np.concatenate([rows[p, : lens[p]] for p in range(pc)])
+
+
+def match_multihost_streaming(
+    path: str,
+    pattern,
+    algo="boyer_moore",
+    config=None,
+    chunk_bytes: int | None = None,
+    manifest_path: str | None = None,
+    resume: bool = False,
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    gather_offsets: bool = True,
+):
+    """Config 5 at its STATED scale: stream a huge shared corpus across
+    N>=2 hosts (BASELINE.json:11 — "all four algorithms on a 100GB sharded
+    corpus across N>=2 hosts with psum count reduction and offset
+    all-gather").
+
+    Composition of the two halves that round 3 left separate: each host
+    streams ITS owned slice of the file in fixed chunks
+    (``StreamingMatcher.match_file(start, stop)`` — so per-host HBM use is
+    one chunk, not size/N), gets its host-level halo from the overlapping
+    file read (zero network traffic), journals its own offsets, and the
+    final merge is ONE collective round: an all-gather of per-slot
+    (count, overflow) plus a count-sized two-phase offset gather
+    (``_allgather_ragged_i64``).  Resume is per-host: each host keeps its
+    own manifest + journals (``manifest_path + ".h<pid>"``) and restarts
+    from its own last completed chunk.
+
+    ``pattern``/``algo`` accept the same forms as ``StreamingMatcher``
+    (one pattern + list of algorithms, or list of patterns + one
+    algorithm).  ``gather_offsets=False`` skips the offset collective —
+    counts/overflows are still global, offsets are THIS host's journal
+    slice only (``res.algo`` gains a ``!local-offsets`` marker) — for
+    match-dense corpora where replicating every offset to every host is
+    the wrong call.
+
+    Every process must call this collectively; all return identical
+    global counts (and offsets when gathered).
+    """
+    from ..models.base import MatchResult
+    from ..utils.config import DEFAULT_CONFIG
+    from .streaming import DEFAULT_CHUNK_BYTES, StreamingMatcher
+
+    cfg = config or DEFAULT_CONFIG
+    info = initialize_cluster(coordinator_address, num_processes, process_id)
+    pid, pc = info["process_id"], info["process_count"]
+    size = os.path.getsize(path)
+
+    if isinstance(pattern, str):
+        pattern = pattern.encode("utf-8")
+    sm = StreamingMatcher(
+        pattern,
+        algo=algo,
+        config=cfg,
+        chunk_bytes=chunk_bytes or DEFAULT_CHUNK_BYTES,
+        manifest_path=(manifest_path + f".h{pid}") if manifest_path else None,
+    )
+    # Split ownership chunk-aligned so every interior chunk is full-sized
+    # (one compiled executable serves all chunks on all hosts); the last
+    # host absorbs the remainder.  halo=0: the streaming iterator already
+    # reads (max_m - 1) past each chunk's owned end, including past the
+    # slice boundary.
+    offset, owned, _read = host_slice_bounds(
+        size, 0, pid, pc, align=sm.chunk_bytes
+    )
+    local = sm.match_file(path, resume=resume, start=offset,
+                          stop=offset + owned)
+    single = not isinstance(local, list)
+    locals_ = [local] if single else local
+
+    if pc == 1:
+        return local
+
+    from jax.experimental import multihost_utils
+
+    k = len(locals_)
+    stats = np.asarray(
+        multihost_utils.process_allgather(
+            np.array(
+                [[r.count, int(r.overflow)] for r in locals_], np.int64
+            ),
+            tiled=False,
+        )
+    ).reshape(pc, k, 2)
+    results = []
+    for i, r in enumerate(locals_):
+        offs = r.offsets.astype(np.int64)
+        offs = offs[offs >= 0]
+        tag = f"@stream-hosts{pc}"
+        if gather_offsets:
+            offs = _allgather_ragged_i64(offs, pc)
+        else:
+            tag += "!local-offsets"
+        results.append(
+            MatchResult(
+                algo=r.algo.split("@")[0] + tag,
+                pattern=r.pattern,
+                n=size,
+                count=int(stats[:, i, 0].sum()),
+                offsets=offs,
+                overflow=bool(stats[:, i, 1].any()),
+            )
+        )
+    return results[0] if single else results
+
+
 def match_multihost(
     path: str,
     pattern,

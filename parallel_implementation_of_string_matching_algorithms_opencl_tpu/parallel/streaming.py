@@ -141,18 +141,30 @@ class StreamingMatcher:
                 )
             )
 
+        # Chunk alignment: chunks must be multiples of
+        # lcm(pad_multiple, 4096) — 4096 bytes = one (1, 1024) int32 word
+        # row, the unit the kernels' pre-shaped word view is built from.
+        # Round 3 raised the default pad_multiple 1024 -> 4096; rather than
+        # rejecting previously-valid 1024-aligned chunk sizes, round UP to
+        # the next aligned size (results are identical — chunking is an
+        # internal detail — but a resume manifest written under the old
+        # size will not match and the run restarts from chunk 0).
         pm = int(np.lcm(config.pad_multiple, 4096))  # word-row alignment
-        if chunk_bytes % pm:
-            raise ValueError(
-                "chunk_bytes must be a multiple of lcm(pad_multiple, 4096)"
-            )
-        self.chunk_bytes = chunk_bytes
+        if chunk_bytes <= 0:
+            raise ValueError(f"chunk_bytes must be positive, got {chunk_bytes}")
+        self.chunk_bytes = -(-chunk_bytes // pm) * pm
         # Word view: ship from host (zero-copy view, 2x the host->device
         # bytes) or repack on device (~60 ms/256 MiB on v5e).  Streaming is
         # usually transfer-bound, so repacking is the default; flip it on
         # hosts whose DMA outruns the ~4 GB/s device repack.
         self.ship_words = False
         self._repack = None
+        # Max in-flight resolved-but-unconsumed chunks (resolver-thread
+        # queue bound): each holds k fixed-capacity device result buffers
+        # plus keeps its chunk's scan alive.  2 keeps one chunk resolving
+        # while the next reads/ships — raising it buys nothing once the
+        # resolver keeps up, and costs HBM when it doesn't.
+        self.pipeline_depth = 2
         # Device chunk shape: owned bytes + (max_m-1) halo, padded.
         halo = self.m - 1
         self._dev_len = chunk_bytes + (-(-max(halo, 1) // pm) * pm)
@@ -178,21 +190,34 @@ class StreamingMatcher:
 
     # -- chunk iteration ---------------------------------------------------
 
-    def _iter_chunks(self, path: str, start_chunk: int):
-        """Yield (chunk_idx, start, valid_n, uint8[_dev_len]) with halo."""
+    def _iter_chunks(self, path: str, start_chunk: int,
+                     range_start: int = 0, range_stop: int | None = None):
+        """Yield (chunk_idx, start, owned_len, valid_n, uint8[_dev_len]).
+
+        ``[range_start, range_stop)`` is the OWNED byte range (defaults to
+        the whole file): this stream may start matches only there.  Reads
+        extend (max_m - 1) bytes past each chunk's owned end — and thus
+        past ``range_stop`` for the final chunk — clamped to the file, so
+        a multi-host caller gets its host-level halo from the overlapping
+        file read alone (SURVEY.md §3.3; no network traffic).
+        """
         size = os.path.getsize(path)
+        if range_stop is None:
+            range_stop = size
         mm = np.memmap(path, dtype=np.uint8, mode="r")
-        n_chunks = max(1, -(-size // self.chunk_bytes))
+        owned_total = max(0, range_stop - range_start)
+        n_chunks = max(1, -(-owned_total // self.chunk_bytes))
         buf = np.zeros(self._dev_len, dtype=np.uint8)
         for ci in range(start_chunk, n_chunks):
-            start = ci * self.chunk_bytes
-            stop = min(start + self.chunk_bytes + self.m - 1, size)
+            start = range_start + ci * self.chunk_bytes
+            owned_len = min(self.chunk_bytes, range_stop - start)
+            stop = min(start + owned_len + self.m - 1, size)
             view = mm[start:stop]
             buf[: len(view)] = view
             buf[len(view) :] = 0
-            # valid region within this chunk = bytes we may START a match at,
-            # plus the lookahead tail; owned starts are < chunk_bytes.
-            yield ci, start, len(view), buf.copy()
+            # valid region within this chunk = bytes we may START a match at
+            # (owned_len of them), plus the lookahead tail.
+            yield ci, start, owned_len, len(view), buf.copy()
         del mm
 
     # -- manifest + offset journals -----------------------------------------
@@ -235,24 +260,27 @@ class StreamingMatcher:
     def _pattern_hex(self) -> str:
         return ";".join(p.hex() for p in self.patterns)
 
-    def _load_manifest(self, path: str):
+    def _load_manifest(self, path: str, rng: tuple[int, int]):
         if not self.manifest_path or not os.path.exists(self.manifest_path):
             return None
         with open(self.manifest_path) as f:
             man = json.load(f)
+        size = os.path.getsize(path)
         if (
             man.get("path") != os.path.abspath(path)
             or man.get("chunk_bytes") != self.chunk_bytes
             or man.get("algo") != self.algo
             or man.get("pattern_hex") != self._pattern_hex()
+            # pre-range manifests (round <=3) streamed the whole file
+            or tuple(man.get("range", (0, size))) != rng
             or "journal_entries" not in man
             or "overflow" not in man
         ):
             return None
         return man
 
-    def _save_manifest(self, path: str, next_chunk: int, counts,
-                       journal_entries, overflow):
+    def _save_manifest(self, path: str, rng: tuple[int, int],
+                       next_chunk: int, counts, journal_entries, overflow):
         """``counts``/``journal_entries``/``overflow``: int/bool for k==1,
         list for k>1."""
         if not self.manifest_path:
@@ -265,6 +293,7 @@ class StreamingMatcher:
                     "chunk_bytes": self.chunk_bytes,
                     "algo": self.algo,
                     "pattern_hex": self._pattern_hex(),
+                    "range": list(rng),
                     "next_chunk": next_chunk,
                     "count": counts,
                     "journal_entries": journal_entries,
@@ -276,11 +305,27 @@ class StreamingMatcher:
 
     # -- main loop ---------------------------------------------------------
 
-    def match_file(self, path: str, resume: bool = False):
+    def match_file(self, path: str, resume: bool = False,
+                   start: int = 0, stop: int | None = None):
         """MatchResult (single pattern) or list[MatchResult] in caller
-        pattern order (multi)."""
+        pattern order (multi).
+
+        ``[start, stop)`` restricts OWNED match starts to that byte range
+        (defaults to the whole file); reads extend (max_m - 1) bytes past
+        ``stop`` for lookahead.  Offsets are always absolute file offsets,
+        so a multi-host driver can stream disjoint per-host ranges and
+        merge results by simple concatenation (parallel/multihost.py
+        ``match_multihost_streaming``).
+        """
         jax, jnp = self._jax, self._jnp
         size = os.path.getsize(path)
+        if stop is None:
+            stop = size
+        if not (0 <= start <= stop <= size):
+            raise ValueError(
+                f"bad owned range [{start}, {stop}) for file of {size} bytes"
+            )
+        rng = (start, stop)
         k = self.k
 
         totals = [0] * k
@@ -290,7 +335,7 @@ class StreamingMatcher:
         start_chunk = 0
         use_journal = self.manifest_path is not None
         if resume:
-            man = self._load_manifest(path)
+            man = self._load_manifest(path, rng)
             if man:
                 start_chunk = man["next_chunk"]
                 totals = [int(x) for x in np.atleast_1d(man["count"])]
@@ -330,26 +375,59 @@ class StreamingMatcher:
                 else:
                     all_offsets[i].extend(int(x) for x in kept)
             self._save_manifest(
-                path, p.chunk_idx + 1,
+                path, rng, p.chunk_idx + 1,
                 totals[0] if k == 1 else totals,
                 journal_entries[0] if k == 1 else journal_entries,
                 overflowed[0] if k == 1 else overflowed,
             )
 
+        import queue as _queue
+        import threading as _threading
         import time as _time
 
         stats = {"read_s": 0.0, "dispatch_s": 0.0, "resolve_s": 0.0,
-                 "chunks": 0}
+                 "enqueue_wait_s": 0.0, "chunks": 0}
+
+        # Resolve pipeline (round-3 VERDICT weak #4: the 100 GB run spent
+        # 63% of its wall blocked in resolve).  resolve() must consume
+        # device results (a host sync per chunk) and journal them in chunk
+        # order — so it runs on ONE dedicated thread fed by a bounded
+        # queue, while the main thread keeps reading + shipping chunks
+        # k+1, k+2, ... .  The queue bound (pipeline_depth) caps in-flight
+        # device result buffers; order is preserved by the single
+        # consumer.  Totals/journals/manifest are touched ONLY by the
+        # resolver thread until the final join.
+        rq: _queue.Queue = _queue.Queue(maxsize=self.pipeline_depth)
+        rerr: list = []
+
+        def _resolver():
+            try:
+                while True:
+                    p = rq.get()
+                    if p is None:
+                        return
+                    t0 = _time.perf_counter()
+                    resolve(p)
+                    stats["resolve_s"] += _time.perf_counter() - t0
+            except BaseException as e:  # surfaced in the main thread
+                rerr.append(e)
+                while rq.get() is not None:  # drain so puts never block
+                    pass
+
+        rthread = _threading.Thread(target=_resolver, daemon=True)
+
         t_all = _time.perf_counter()
-        pending: _Pending | None = None
-        chunk_iter = self._iter_chunks(path, start_chunk)
+        chunk_iter = self._iter_chunks(path, start_chunk, start, stop)
+        rthread.start()
         while True:
             t0 = _time.perf_counter()
             item = next(chunk_iter, None)
             stats["read_s"] += _time.perf_counter() - t0
             if item is None:
                 break
-            ci, start, valid_n, buf = item
+            if rerr:
+                break
+            ci, cstart, owned_len, valid_n, buf = item
             stats["chunks"] += 1
             t0 = _time.perf_counter()
             text_dev = jnp.asarray(buf)
@@ -367,12 +445,14 @@ class StreamingMatcher:
             offsets: list = [None] * k
             ovfs: list = [None] * k
             for u in self._units:
-                # A chunk owns starts in [0, chunk_bytes); per-unit validity
-                # n_eff = chunk_bytes + m_u - 1 makes the runner's own
+                # A chunk owns starts in [0, owned_len); per-unit validity
+                # n_eff = owned_len + m_u - 1 makes the runner's own
                 # p <= n - m limit coincide exactly with ownership, so the
                 # chunk merge is duplicate-free per pattern even when
-                # pattern lengths differ (the buffer halo uses max_m).
-                n_eff = min(valid_n, self.chunk_bytes + u.m - 1)
+                # pattern lengths differ (the buffer halo uses max_m) —
+                # and, with a restricted [start, stop) range, exactly
+                # excludes starts past stop (the next host's property).
+                n_eff = min(valid_n, owned_len + u.m - 1)
                 c, o, v = u.runner(
                     text_dev, words_dev, jnp.int32(n_eff),
                     u.pat_dev, u.tables_dev,
@@ -387,16 +467,13 @@ class StreamingMatcher:
                         c, o, v
                     )
             stats["dispatch_s"] += _time.perf_counter() - t0
-            this = _Pending(ci, start, counts, offsets, ovfs)
-            if pending is not None:
-                t0 = _time.perf_counter()
-                resolve(pending)  # sync chunk k-1 while chunk k computes
-                stats["resolve_s"] += _time.perf_counter() - t0
-            pending = this
-        if pending is not None:
             t0 = _time.perf_counter()
-            resolve(pending)
-            stats["resolve_s"] += _time.perf_counter() - t0
+            rq.put(_Pending(ci, cstart, counts, offsets, ovfs))
+            stats["enqueue_wait_s"] += _time.perf_counter() - t0
+        rq.put(None)
+        rthread.join()
+        if rerr:
+            raise rerr[0]
         stats["wall_s"] = _time.perf_counter() - t_all
         self.last_stats = stats
 

@@ -8,7 +8,12 @@ jax.config — see tests/conftest.py), then runs the collective
 result as JSON.
 
 Usage: python _multihost_worker.py <pid> <nprocs> <port> <corpus> <pattern_hex>
-       <algo> <out_json>
+       <algo> <out_json> [mode] [chunk_bytes]
+
+``mode``: "whole" (default — match_multihost, slice-in-memory) or
+"stream" (match_multihost_streaming, per-host chunked stream with the
+count-sized two-phase offset gather).  ``pattern_hex`` may be several
+patterns joined with ';' (streaming mode only).
 """
 
 import json
@@ -36,25 +41,52 @@ from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.conf
 def main() -> int:
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     corpus, pattern_hex, algo, out_path = sys.argv[4:8]
-    res = multihost.match_multihost(
-        corpus,
-        bytes.fromhex(pattern_hex),
-        algo=algo,
-        config=MatchConfig(capacity=4096, pad_multiple=64),
-        coordinator_address=f"localhost:{port}",
-        num_processes=nprocs,
-        process_id=pid,
-    )
+    mode = sys.argv[8] if len(sys.argv) > 8 else "whole"
+    cfg = MatchConfig(capacity=4096, pad_multiple=64)
+    patterns = [bytes.fromhex(h) for h in pattern_hex.split(";")]
+    if mode == "stream":
+        chunk_bytes = int(sys.argv[9]) if len(sys.argv) > 9 else 1 << 20
+        res = multihost.match_multihost_streaming(
+            corpus,
+            patterns if len(patterns) > 1 else patterns[0],
+            algo=algo,
+            config=cfg,
+            chunk_bytes=chunk_bytes,
+            manifest_path=out_path + ".manifest",
+            coordinator_address=f"localhost:{port}",
+            num_processes=nprocs,
+            process_id=pid,
+        )
+    else:
+        res = multihost.match_multihost(
+            corpus,
+            patterns[0],
+            algo=algo,
+            config=cfg,
+            coordinator_address=f"localhost:{port}",
+            num_processes=nprocs,
+            process_id=pid,
+        )
+    reslist = res if isinstance(res, list) else [res]
     with open(out_path, "w") as f:
         json.dump(
             {
-                "algo": res.algo,
+                "algo": reslist[0].algo,
                 "process_id": pid,
                 "process_count": jax.process_count(),
                 "global_devices": len(jax.devices()),
-                "count": res.count,
-                "offsets": res.offsets_list(),
-                "overflow": res.overflow,
+                "count": reslist[0].count,
+                "offsets": reslist[0].offsets_list(),
+                "overflow": reslist[0].overflow,
+                "all": [
+                    {
+                        "algo": r.algo,
+                        "count": r.count,
+                        "offsets": r.offsets_list(),
+                        "overflow": r.overflow,
+                    }
+                    for r in reslist
+                ],
             },
             f,
         )

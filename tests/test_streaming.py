@@ -80,7 +80,7 @@ def test_stream_resume(corpus, tmp_path):
 
     sm._journal_reset(0)
     total, entries = 0, 0
-    for ci, start, valid_n, buf in sm._iter_chunks(path, 0):
+    for ci, start, owned_len, valid_n, buf in sm._iter_chunks(path, 0):
         if ci >= 2:
             break
         n_eff = min(valid_n, CHUNK + sm.m - 1)
@@ -96,7 +96,8 @@ def test_stream_resume(corpus, tmp_path):
         total += int(count)
         sm._journal_append(kept)
         entries += len(kept)
-        sm._save_manifest(path, ci + 1, total, entries, False)
+        sm._save_manifest(path, (0, os.path.getsize(path)), ci + 1, total,
+                          entries, False)
 
     man = json.load(open(manifest))
     assert man["next_chunk"] == 2
@@ -137,7 +138,7 @@ def test_stream_resume_preserves_overflow(corpus, tmp_path):
     import jax.numpy as jnp
 
     sm._journal_reset(0)
-    for ci, start, valid_n, buf in sm._iter_chunks(str(dense), 0):
+    for ci, start, owned_len, valid_n, buf in sm._iter_chunks(str(dense), 0):
         count, offsets, ovf = sm._runner(
             jnp.asarray(buf), jnp.asarray(buf.view(np.int32)),
             jnp.int32(min(valid_n, CHUNK + sm.m - 1)),
@@ -147,7 +148,8 @@ def test_stream_resume_preserves_overflow(corpus, tmp_path):
         kept = o[o >= 0].astype(np.int64) + start
         sm._journal_append(kept)
         assert int(count) == 600 and bool(ovf)
-        sm._save_manifest(str(dense), ci + 1, int(count), len(kept), True)
+        sm._save_manifest(str(dense), (0, os.path.getsize(str(dense))),
+                          ci + 1, int(count), len(kept), True)
         break  # interrupt after chunk 0
 
     r = match_stream(str(dense), b"aa", algo="naive", config=cfg,

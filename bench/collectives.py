@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--m", type=int, default=16)
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--bucket", type=int, default=1024,
+                    help="count-sized gather width (config-1 realistic: "
+                         "976 matches at 256 MiB english m=16 -> 1024)")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -109,6 +112,44 @@ def main():
         g = jax.lax.all_gather(o, DATA_AXIS)  # (D, cap)
         return g[0, 0] + jnp.sum(w[:16].astype(jnp.int32))
 
+    # count-sized two-phase merge (dist_gather='count_sized', the round-4
+    # default): phase A reduces scalars only (psum count + pmax of the
+    # per-shard valid-entry count); phase B gathers bucket-sized buffers.
+    # Measured here as the production structure — two separate jitted
+    # dispatches — so the extra dispatch round-trip is IN the number.
+    bucket = args.bucket
+
+    def stats_body(t, w, o):
+        c = jnp.sum(w[:16].astype(jnp.int32))
+        return (jax.lax.psum(c, DATA_AXIS),
+                jax.lax.pmax(jnp.minimum(c, cap), DATA_AXIS),
+                o)
+
+    stats_fn = jax.jit(shard_map(
+        stats_body, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(), P(DATA_AXIS)), check_vma=False))
+
+    def bucket_body(o):
+        return jax.lax.all_gather(o[:bucket], DATA_AXIS)
+
+    bucket_fn = jax.jit(shard_map(
+        bucket_body, mesh=mesh, in_specs=(P(DATA_AXIS),),
+        out_specs=P(), check_vma=False))
+
+    def two_phase(t, w, o):
+        c, mx, osh = stats_fn(t, w, o)
+        int(mx)  # host sync: the bucket choice needs the pmax value
+        return bucket_fn(osh)
+
+    def timed_py(fn, *xs):
+        jax.block_until_ready(fn(*xs))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*xs)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / args.iters
+
     t_base = timed(mk(base_body), text_dev, words_dev, offs_dev)
     rows = []
     for name, body, bytes_moved in (
@@ -132,18 +173,43 @@ def main():
         })
         print(json.dumps(rows[-1]), flush=True)
 
+    t_tp = timed_py(two_phase, text_dev, words_dev, offs_dev)
+    tp_bytes = 4 * bucket * (D - 1) + 4 * D  # bucket gather + scalar ring
+    rows.append({
+        "collective": "offsets_gather_count_sized",
+        "devices": D,
+        "shard_bytes": shard,
+        "m": args.m,
+        "capacity": cap,
+        "bucket": bucket,
+        "bytes_moved_per_device": tp_bytes,
+        "cpu_mesh_cost_s": max(t_tp - t_base, 0.0),
+        "ici_projection_s": tp_bytes / ICI_GBPS,
+        "dcn_projection_s": tp_bytes / DCN_GBPS,
+        "extra_dispatch": True,
+        "mode": "cpu-mesh-codepath-only",
+    })
+    print(json.dumps(rows[-1]), flush=True)
+
     # context: the single-chip scan wall these costs amortize against
     # (BM 256 MiB ~2.0-2.6 ms measured on v5e this round)
     scan_s = 2.3e-3 * (shard / (256 << 20))
+    fixed = [r for r in rows if r["collective"] != "offsets_gather_count_sized"]
+    sized = [r for r in rows if r["collective"] != "offsets_all_gather"]
     summary = {
         "collective": "budget_summary",
         "devices": D,
         "shard_bytes": shard,
+        "bucket": bucket,
         "scan_wall_s_v5e": scan_s,
         "ici_fraction_of_scan": sum(
-            r["ici_projection_s"] for r in rows) / scan_s,
+            r["ici_projection_s"] for r in fixed) / scan_s,
         "dcn_fraction_of_scan": sum(
-            r["dcn_projection_s"] for r in rows) / scan_s,
+            r["dcn_projection_s"] for r in fixed) / scan_s,
+        "ici_fraction_count_sized": sum(
+            r["ici_projection_s"] for r in sized) / scan_s,
+        "dcn_fraction_count_sized": sum(
+            r["dcn_projection_s"] for r in sized) / scan_s,
         "mode": "analytic+cpu-mesh",
     }
     rows.append(summary)

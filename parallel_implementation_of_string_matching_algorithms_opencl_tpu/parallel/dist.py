@@ -59,6 +59,39 @@ def _assemble_halo(local_text, local_words, halo: int, D: int, axis: str):
     return jnp.concatenate(t_parts), jnp.concatenate(w_parts)
 
 
+_GATHER_CACHE: dict = {}
+
+
+def _bucket_gather(mesh, bucket: int):
+    """Tiny jitted gather: D-sharded offset buffers (leading axis over
+    ``data``) -> replicated (D, ..., bucket).  The valid entries of every
+    per-shard buffer are an ascending prefix (extraction sorts, FILL=-1
+    pads the tail), so slicing the first ``bucket`` columns keeps every
+    valid offset whenever bucket >= the largest per-shard count."""
+    key = (mesh, bucket)
+    fn = _GATHER_CACHE.get(key)
+    if fn is None:
+        def body(loc):
+            return jax.lax.all_gather(loc[..., :bucket], DATA_AXIS)
+
+        fn = jax.jit(
+            shard_map(
+                body, mesh=mesh, in_specs=(P(DATA_AXIS),), out_specs=P(),
+                check_vma=False,
+            )
+        )
+        _GATHER_CACHE[key] = fn
+    return fn
+
+
+def _pick_bucket(maxc: int, cap: int) -> int:
+    """Power-of-two gather width >= the largest per-shard count; floor 128
+    bounds the number of distinct gather executables (~log2(cap) - 7)."""
+    if maxc <= 0:
+        return 0
+    return min(max(1 << (maxc - 1).bit_length(), 128), cap)
+
+
 class DistributedMatcher:
     """Mesh-sharded exact matcher (any registered algorithm)."""
 
@@ -140,24 +173,52 @@ class DistributedMatcher:
             check_vma=True,
         )
 
-        def merge_body(c, goff, v):
-            return (
-                jax.lax.psum(c[0], DATA_AXIS),
-                jax.lax.all_gather(goff, DATA_AXIS),  # (D, cap)
-                jax.lax.psum(v[0], DATA_AXIS),
+        if config.dist_gather == "count_sized":
+            # Two-phase merge (BASELINE.json:5 >=90% scaling): this
+            # executable reduces only the SCALARS (psum count/overflow +
+            # pmax of the per-shard valid-entry count) and leaves the
+            # offset buffers sharded on-device; the host then dispatches a
+            # tiny bucket-sized gather (_gather) moving max-count-sized
+            # buffers instead of capacity-sized ones.
+            def stats_body(c, goff, v):
+                return (
+                    jax.lax.psum(c[0], DATA_AXIS),
+                    jax.lax.pmax(jnp.minimum(c[0], cap), DATA_AXIS),
+                    jax.lax.psum(v[0], DATA_AXIS),
+                    goff,
+                )
+
+            stats = shard_map(
+                stats_body,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P(), P(), P(DATA_AXIS)),
+                check_vma=False,
             )
 
-        merge = shard_map(
-            merge_body,
-            mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
+            def run(text, words, n, pattern, tables):
+                c, goff, v = core(text, words, n, pattern, tables)
+                return stats(c, goff, v)
 
-        def run(text, words, n, pattern, tables):
-            c, goff, v = core(text, words, n, pattern, tables)
-            return merge(c, goff, v)
+        else:
+            def merge_body(c, goff, v):
+                return (
+                    jax.lax.psum(c[0], DATA_AXIS),
+                    jax.lax.all_gather(goff, DATA_AXIS),  # (D, cap)
+                    jax.lax.psum(v[0], DATA_AXIS),
+                )
+
+            merge = shard_map(
+                merge_body,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+
+            def run(text, words, n, pattern, tables):
+                c, goff, v = core(text, words, n, pattern, tables)
+                return merge(c, goff, v)
 
         fn = jax.jit(run)
         DistributedMatcher._jit_cache[key] = fn
@@ -181,16 +242,28 @@ class DistributedMatcher:
             jnp.asarray(padded.view(np.int32)), sharding
         )
         runner = self._build(self.mesh, type(self.matcher), self.config, self.m)
-        count, all_offs, overflowed = runner(
+        out = runner(
             text_dev,
             words_dev,
             jnp.int32(n),
             jnp.asarray(self.matcher.pattern_arr),
             jax.tree.map(jnp.asarray, self.matcher.tables),
         )
-        count = int(count)
-        offs = np.asarray(all_offs).reshape(-1)
-        offs = np.sort(offs[offs >= 0])
+        if self.config.dist_gather == "count_sized":
+            count, maxc, overflowed, goff_sh = out
+            count = int(count)
+            bucket = _pick_bucket(int(maxc), self.config.capacity)
+            if bucket == 0:
+                offs = np.empty(0, np.int64)
+            else:
+                all_offs = _bucket_gather(self.mesh, bucket)(goff_sh)
+                offs = np.asarray(all_offs).reshape(-1)
+                offs = np.sort(offs[offs >= 0])
+        else:
+            count, all_offs, overflowed = out
+            count = int(count)
+            offs = np.asarray(all_offs).reshape(-1)
+            offs = np.sort(offs[offs >= 0])
         return MatchResult(
             algo=f"{self.matcher.name}@mesh{self.n_shards}",
             pattern=self.matcher.pattern_bytes,
@@ -273,24 +346,51 @@ class DistributedMultiMatcher:
             check_vma=True,
         )
 
-        def merge_body(c, goff, v):
-            return (
-                jax.lax.psum(c, DATA_AXIS),
-                jax.lax.all_gather(goff, DATA_AXIS),  # (D, k, cap)
-                jax.lax.psum(v, DATA_AXIS),
+        if config.dist_gather == "count_sized":
+            # Two-phase merge, one shared bucket across patterns (see
+            # DistributedMatcher._build): pmax of the largest per-(shard,
+            # pattern) valid-entry count sizes the gather.
+            def stats_body(c, goff, v):
+                return (
+                    jax.lax.psum(c, DATA_AXIS),
+                    jax.lax.pmax(
+                        jnp.max(jnp.minimum(c, cap)), DATA_AXIS
+                    ),
+                    jax.lax.psum(v, DATA_AXIS),
+                    goff,
+                )
+
+            stats = shard_map(
+                stats_body,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P(), P(), P(DATA_AXIS)),
+                check_vma=False,
             )
 
-        merge = shard_map(
-            merge_body,
-            mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
+            def run(text, words, n, patterns, tables):
+                c, goff, v = core(text, words, n, patterns, tables)
+                return stats(c, goff, v)
 
-        def run(text, words, n, patterns, tables):
-            c, goff, v = core(text, words, n, patterns, tables)
-            return merge(c, goff, v)
+        else:
+            def merge_body(c, goff, v):
+                return (
+                    jax.lax.psum(c, DATA_AXIS),
+                    jax.lax.all_gather(goff, DATA_AXIS),  # (D, k, cap)
+                    jax.lax.psum(v, DATA_AXIS),
+                )
+
+            merge = shard_map(
+                merge_body,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+
+            def run(text, words, n, patterns, tables):
+                c, goff, v = core(text, words, n, patterns, tables)
+                return merge(c, goff, v)
 
         fn = jax.jit(run)
         DistributedMultiMatcher._jit_cache[key] = fn
@@ -311,15 +411,27 @@ class DistributedMultiMatcher:
             jnp.asarray(padded.view(np.int32)), sharding
         )
         runner = self._build(self.mesh, self.config, self.m, self.k)
-        counts, all_offs, overflowed = runner(
+        out = runner(
             text_dev,
             words_dev,
             jnp.int32(n),
             jnp.asarray(self.matcher.pattern_arr),
             jax.tree.map(jnp.asarray, self.matcher.tables),
         )
-        counts = np.asarray(counts)
-        all_offs = np.asarray(all_offs)  # (D, k, cap)
+        if self.config.dist_gather == "count_sized":
+            counts, maxc, overflowed, goff_sh = out
+            counts = np.asarray(counts)
+            bucket = _pick_bucket(int(maxc), self.config.capacity)
+            if bucket == 0:
+                all_offs = np.full((self.n_shards, self.k, 1), -1, np.int32)
+            else:
+                all_offs = np.asarray(
+                    _bucket_gather(self.mesh, bucket)(goff_sh)
+                )  # (D, k, bucket)
+        else:
+            counts, all_offs, overflowed = out
+            counts = np.asarray(counts)
+            all_offs = np.asarray(all_offs)  # (D, k, cap)
         overflowed = np.asarray(overflowed)
         out = []
         for p in range(self.k):

@@ -65,6 +65,16 @@ class MatchConfig:
     emission: str = "sparse"
     # Rabin-Karp base override (odd uint32); None = ops.tables.RK_BASE.
     rk_base: int | None = None
+    # Distributed offset merge: 'count_sized' (default) runs the scan +
+    # psum/pmax stats first, then gathers offset buffers sized to the
+    # next power of two >= the LARGEST per-shard count — collective
+    # traffic scales with the result, not with capacity (round-3 measured
+    # the fixed-capacity all_gather at 12.8% of the scan wall over DCN at
+    # 256 MiB shards, below the >=90% scaling target; BASELINE.json:5).
+    # 'fixed' keeps the single-dispatch capacity-sized all_gather (wins
+    # when results ~always fill capacity, or when the extra dispatch
+    # round-trip dominates, e.g. tiny texts).
+    dist_gather: str = "count_sized"
 
     def __post_init__(self):
         # The matchers view the padded text as int32 words; a pad target

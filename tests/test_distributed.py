@@ -146,3 +146,34 @@ def test_dist_overlapping_across_seams():
     want = find_all(text, b"aaaa")
     assert res.count == len(want)
     assert res.offsets_list() == want
+
+
+@pytest.mark.parametrize("mode", ["count_sized", "fixed"])
+def test_dist_gather_modes_parity(mode):
+    # Round-4 two-phase count-sized gather vs the fixed-capacity gather:
+    # identical results, including a zero-match text (bucket 0 -> the
+    # gather dispatch is skipped entirely).
+    cfg = CFG.replace(dist_gather=mode)
+    rng = np.random.default_rng(7)
+    text = rng.choice(
+        np.frombuffer(b"abc", dtype=np.uint8), size=5000
+    ).tobytes()
+    pattern = b"abcabc"
+    want = find_all(text, pattern)
+    res = match_distributed(text, pattern, algo="naive", config=cfg)
+    assert res.count == len(want) and res.offsets_list() == want
+    # zero matches
+    res0 = match_distributed(text, b"ZZZZ", algo="naive", config=cfg)
+    assert res0.count == 0 and res0.offsets_list() == []
+
+
+def test_dist_count_sized_bucket_overflow_shard():
+    # One shard holds more matches than the 128-floor bucket: pmax must
+    # size the gather up so no offset is lost.
+    cfg = CFG.replace(dist_gather="count_sized")
+    text = bytearray(b"." * 4096)
+    text[0:600] = b"a" * 600  # 599 'aa' matches, all in shard 0
+    want = find_all(bytes(text), b"aa")
+    res = match_distributed(bytes(text), b"aa", algo="naive", config=cfg)
+    assert res.count == len(want) == 599
+    assert res.offsets_list() == want

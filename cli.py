@@ -46,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Boyer-Moore screen probe selection")
     ap.add_argument("--drain", action="store_true",
                     help="guarantee ALL offsets even past --capacity "
-                         "(windowed re-extraction; single-device only)")
+                         "(windowed re-extraction; single-device, "
+                         "--distributed and --multihost modes)")
     ap.add_argument("--multihost", action="store_true",
                     help="run collectively across the JAX process group "
                          "(topology from TPUMATCH_COORDINATOR / "
@@ -84,12 +85,12 @@ def main(argv=None) -> int:
     else:
         patterns = [p.encode("utf-8") for p in args.pattern]
 
-    if args.drain and (args.stream or args.distributed or args.multihost):
-        # Refuse rather than silently return a truncated offset list: the
-        # drain (re-extract EVERY offset past capacity) is only wired into
-        # the single-device match() path.
-        ap.error("--drain is only supported for single-device runs "
-                 "(without --stream/--distributed); raise --capacity instead")
+    if args.drain and args.stream:
+        # Refuse rather than silently return a truncated offset list:
+        # streaming resolve journals valid PREFIXES per chunk (counts stay
+        # exact); a full drain there would need per-chunk re-extraction.
+        ap.error("--drain is not supported with --stream; raise "
+                 "--capacity or use --distributed/--multihost instead")
 
     t0 = time.perf_counter()
     if args.stream and args.multihost:
@@ -121,7 +122,8 @@ def main(argv=None) -> int:
             match_multihost,
         )
 
-        out = match_multihost(args.textfile, patterns[0], algo=args.algo)
+        out = match_multihost(args.textfile, patterns[0], algo=args.algo,
+                              drain=args.drain)
         results = [out]
     else:
         text = load_file(args.textfile)
@@ -135,6 +137,7 @@ def main(argv=None) -> int:
                 text,
                 patterns if len(patterns) > 1 else patterns[0],
                 algo=args.algo,
+                drain=args.drain,
                 **overrides,
             )
             results = out if isinstance(out, list) else [out]

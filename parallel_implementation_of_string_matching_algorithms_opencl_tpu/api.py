@@ -101,6 +101,7 @@ def match_distributed(
     algo: str = "boyer_moore",
     config: MatchConfig | None = None,
     mesh=None,
+    drain: bool = False,
     **overrides,
 ):
     """Mesh-sharded match (data-parallel with (m-1)-byte halos).  See
@@ -110,12 +111,20 @@ def match_distributed(
     Rabin-Karp hash pass per shard when ``algo`` is 'rabin_karp'
     (DistributedMultiMatcher); otherwise one sharded run per pattern.
     Returns a list of MatchResult in input order for list input.
+
+    ``drain=True`` guarantees every offset even past per-shard capacity:
+    incomplete shards are re-extracted host-side over their owned ranges
+    (DistributedMatcher.match_all); counts are exact either way.
     """
     from .parallel.dist import DistributedMatcher, DistributedMultiMatcher
 
     cfg = (config or DEFAULT_CONFIG).replace(**overrides) if overrides else (
         config or DEFAULT_CONFIG
     )
+
+    def run(dm):
+        return dm.match_all(text) if drain else dm.match(text)
+
     if isinstance(pattern, (list, tuple)):
         patterns = [_coerce_pattern(p) for p in pattern]
         results: list[MatchResult | None] = [None] * len(patterns)
@@ -128,19 +137,19 @@ def match_distributed(
                     dm = DistributedMultiMatcher(
                         [patterns[i] for i in idxs], config=cfg, mesh=mesh
                     )
-                    for i, r in zip(idxs, dm.match(text)):
+                    for i, r in zip(idxs, run(dm)):
                         results[i] = r
                 else:
-                    results[idxs[0]] = DistributedMatcher(
+                    results[idxs[0]] = run(DistributedMatcher(
                         patterns[idxs[0]], algo=algo, config=cfg, mesh=mesh
-                    ).match(text)
+                    ))
             return results
         return [
-            DistributedMatcher(p, algo=algo, config=cfg, mesh=mesh).match(text)
+            run(DistributedMatcher(p, algo=algo, config=cfg, mesh=mesh))
             for p in patterns
         ]
     dm = DistributedMatcher(_coerce_pattern(pattern), algo=algo, config=cfg, mesh=mesh)
-    return dm.match(text)
+    return run(dm)
 
 
 __all__ = [

@@ -195,37 +195,52 @@ class Matcher:
         res = self.match(arr)
         if not res.overflow:
             return res
+        offsets = self.extract_range(arr, 0, len(arr), res.count)
+        assert len(offsets) == res.count
+        return dataclasses.replace(res, offsets=offsets, overflow=False)
+
+    def extract_range(self, arr: np.ndarray, lo: int, hi: int,
+                      est: int) -> np.ndarray:
+        """EVERY match offset starting in ``[lo, hi)``, by windowed
+        re-extraction (the drain engine behind ``match_all``; the
+        distributed drains reuse it per overflowing shard/host range).
+        Each window reads (m-1) halo bytes past its end, so the
+        per-window validity limit p <= len(window)-m is exactly
+        start-ownership and the concatenation is duplicate-free and
+        ascending.  ``est``: expected match count in the range (sizes
+        windows at ~capacity/2 expected matches — ~2·est/capacity
+        dispatches, not O(range/capacity) blind walking)."""
         cap = self.config.capacity
         pm = max(1, self.config.pad_multiple)
-        n = len(arr)
-        est = max(1, res.count)
-        W = int(max(cap, min(n - 1, n * cap // (2 * est))))
+        span = hi - lo
+        if span <= 0:
+            return np.empty(0, np.int64)
+        est = max(1, est)
+        W = int(max(cap, min(span, span * cap // (2 * est) + 1)))
         W = -(-W // pm) * pm  # shape reuse across windows
 
         parts = []
 
-        def drain(lo: int, w: int) -> None:
-            sub = arr[lo : lo + w + self.m - 1]
+        def drain(wlo: int, w: int) -> None:
+            sub = arr[wlo : wlo + w + self.m - 1]
             r = self.match(sub)
             if not r.overflow:
                 if r.count:
                     offs = np.asarray(r.offsets, np.int64)
-                    parts.append(offs[offs >= 0] + lo)
+                    parts.append(offs[offs >= 0] + wlo)
                 return
             assert w > cap, "capacity-byte window overflowed"
             half = -(-(w // 2) // pm) * pm
             if half >= w:
                 half = w // 2
-            drain(lo, half)
-            drain(lo + half, w - half)
+            drain(wlo, half)
+            drain(wlo + half, w - half)
 
-        for lo in range(0, n, W):
-            drain(lo, min(W, n - lo))
-        offsets = (
+        for wlo in range(lo, hi, W):
+            drain(wlo, min(W, hi - wlo))
+        return (
             np.concatenate(parts) if parts else np.empty(0, np.int64)
         )
-        assert len(offsets) == res.count
-        return dataclasses.replace(res, offsets=offsets, overflow=False)
 
     @classmethod
     def _tile_bytes(cls, config: MatchConfig) -> int:

@@ -16,13 +16,15 @@ item 6), which makes the merge duplicate-free by construction.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.base import MatchResult
+from ..models.base import MatchResult, valid_prefix
 from ..ops import emit
 from ..models.registry import get_matcher
 from ..utils.config import DEFAULT_CONFIG, MatchConfig
@@ -176,15 +178,17 @@ class DistributedMatcher:
         if config.dist_gather == "count_sized":
             # Two-phase merge (BASELINE.json:5 >=90% scaling): this
             # executable reduces only the SCALARS (psum count/overflow +
-            # pmax of the per-shard valid-entry count) and leaves the
+            # pmax of the per-shard valid-entry count, plus the D-scalar
+            # per-shard count gather the drain needs) and leaves the
             # offset buffers sharded on-device; the host then dispatches a
-            # tiny bucket-sized gather (_gather) moving max-count-sized
-            # buffers instead of capacity-sized ones.
+            # tiny bucket-sized gather (_bucket_gather) moving
+            # max-count-sized buffers instead of capacity-sized ones.
             def stats_body(c, goff, v):
                 return (
                     jax.lax.psum(c[0], DATA_AXIS),
                     jax.lax.pmax(jnp.minimum(c[0], cap), DATA_AXIS),
                     jax.lax.psum(v[0], DATA_AXIS),
+                    jax.lax.all_gather(c[0], DATA_AXIS),  # (D,) shard counts
                     goff,
                 )
 
@@ -192,7 +196,7 @@ class DistributedMatcher:
                 stats_body,
                 mesh=mesh,
                 in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-                out_specs=(P(), P(), P(), P(DATA_AXIS)),
+                out_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
                 check_vma=False,
             )
 
@@ -206,13 +210,14 @@ class DistributedMatcher:
                     jax.lax.psum(c[0], DATA_AXIS),
                     jax.lax.all_gather(goff, DATA_AXIS),  # (D, cap)
                     jax.lax.psum(v[0], DATA_AXIS),
+                    jax.lax.all_gather(c[0], DATA_AXIS),  # (D,) shard counts
                 )
 
             merge = shard_map(
                 merge_body,
                 mesh=mesh,
                 in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-                out_specs=(P(), P(), P()),
+                out_specs=(P(), P(), P(), P()),
                 check_vma=False,
             )
 
@@ -226,8 +231,9 @@ class DistributedMatcher:
 
     # -- host entry --------------------------------------------------------
 
-    def match(self, data) -> MatchResult:
-        arr = as_byte_array(data)
+    def _match_raw(self, arr):
+        """(MatchResult, per-shard counts (D,), per-shard offset rows
+        (D, b) global already-rebased with -1 fill, shard_len bytes)."""
         n = len(arr)
         # Tile-multiple shards: each shard's kernel then covers everything
         # but the (m-1)-byte halo, keeping the slow jnp tail scan at ~zero
@@ -236,6 +242,7 @@ class DistributedMatcher:
         tile = int(np.lcm(self.config.pad_multiple,
                           type(self.matcher)._tile_bytes(self.config)))
         padded = pad_to_multiple(arr, tile * self.n_shards)
+        shard_len = len(padded) // self.n_shards
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         text_dev = jax.device_put(jnp.asarray(padded), sharding)
         words_dev = jax.device_put(
@@ -250,28 +257,64 @@ class DistributedMatcher:
             jax.tree.map(jnp.asarray, self.matcher.tables),
         )
         if self.config.dist_gather == "count_sized":
-            count, maxc, overflowed, goff_sh = out
+            count, maxc, overflowed, shard_counts, goff_sh = out
             count = int(count)
             bucket = _pick_bucket(int(maxc), self.config.capacity)
             if bucket == 0:
-                offs = np.empty(0, np.int64)
+                rows = np.full((self.n_shards, 1), -1, np.int32)
             else:
-                all_offs = _bucket_gather(self.mesh, bucket)(goff_sh)
-                offs = np.asarray(all_offs).reshape(-1)
-                offs = np.sort(offs[offs >= 0])
+                rows = np.asarray(_bucket_gather(self.mesh, bucket)(goff_sh))
         else:
-            count, all_offs, overflowed = out
+            count, all_offs, overflowed, shard_counts = out
             count = int(count)
-            offs = np.asarray(all_offs).reshape(-1)
-            offs = np.sort(offs[offs >= 0])
-        return MatchResult(
+            rows = np.asarray(all_offs)  # (D, cap)
+        res = MatchResult(
             algo=f"{self.matcher.name}@mesh{self.n_shards}",
             pattern=self.matcher.pattern_bytes,
             n=n,
             count=count,
-            offsets=offs,
+            offsets=None,  # filled by callers from rows
             overflow=bool(int(overflowed) > 0),
         )
+        return res, np.asarray(shard_counts), rows, shard_len
+
+    def match(self, data) -> MatchResult:
+        arr = as_byte_array(data)
+        res, _counts, rows, _sl = self._match_raw(arr)
+        offs = rows.reshape(-1)
+        offs = np.sort(offs[offs >= 0])
+        return dataclasses.replace(res, offsets=offs)
+
+    def match_all(self, data) -> MatchResult:
+        """Like ``match`` but guarantees EVERY offset even past capacity
+        (the distributed form of ``Matcher.match_all`` — round-3 VERDICT
+        missing #3).  Shards whose gathered row is complete (valid prefix
+        length == exact per-shard count) are kept as-is; each incomplete
+        shard's owned byte range is re-extracted host-side with the local
+        matcher's windowed drain, whose per-window ownership identity
+        matches the shard decomposition exactly."""
+        arr = as_byte_array(data)
+        res, shard_counts, rows, shard_len = self._match_raw(arr)
+        if not res.overflow:
+            offs = rows.reshape(-1)
+            offs = np.sort(offs[offs >= 0])
+            return dataclasses.replace(res, offsets=offs)
+        n = len(arr)
+        parts = []
+        for s in range(self.n_shards):
+            c_s = int(shard_counts[s])
+            if c_s == 0:
+                continue
+            row = valid_prefix(rows[s]).astype(np.int64)
+            if len(row) == c_s:
+                parts.append(row)
+            else:
+                lo = s * shard_len
+                hi = min((s + 1) * shard_len, n)
+                parts.append(self.matcher.extract_range(arr, lo, hi, c_s))
+        offsets = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        assert len(offsets) == res.count
+        return dataclasses.replace(res, offsets=offsets, overflow=False)
 
 
 class DistributedMultiMatcher:
@@ -357,6 +400,7 @@ class DistributedMultiMatcher:
                         jnp.max(jnp.minimum(c, cap)), DATA_AXIS
                     ),
                     jax.lax.psum(v, DATA_AXIS),
+                    jax.lax.all_gather(c, DATA_AXIS),  # (D, k)
                     goff,
                 )
 
@@ -364,7 +408,7 @@ class DistributedMultiMatcher:
                 stats_body,
                 mesh=mesh,
                 in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-                out_specs=(P(), P(), P(), P(DATA_AXIS)),
+                out_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
                 check_vma=False,
             )
 
@@ -378,13 +422,14 @@ class DistributedMultiMatcher:
                     jax.lax.psum(c, DATA_AXIS),
                     jax.lax.all_gather(goff, DATA_AXIS),  # (D, k, cap)
                     jax.lax.psum(v, DATA_AXIS),
+                    jax.lax.all_gather(c, DATA_AXIS),  # (D, k)
                 )
 
             merge = shard_map(
                 merge_body,
                 mesh=mesh,
                 in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-                out_specs=(P(), P(), P()),
+                out_specs=(P(), P(), P(), P()),
                 check_vma=False,
             )
 
@@ -396,8 +441,9 @@ class DistributedMultiMatcher:
         DistributedMultiMatcher._jit_cache[key] = fn
         return fn
 
-    def match(self, data) -> list[MatchResult]:
-        arr = as_byte_array(data)
+    def _match_raw(self, arr):
+        """(counts (k,), rows (D, k, b) global -1-filled, overflowed (k,),
+        shard_counts (D, k), shard_len bytes)."""
         n = len(arr)
         # Tile-multiple shards, same as DistributedMatcher.match: the old
         # pad_multiple*d padding left a ~MB-scale jnp-scanned tail per
@@ -405,6 +451,7 @@ class DistributedMultiMatcher:
         tile = int(np.lcm(self.config.pad_multiple,
                           128 * self.config.pallas_chunk_bytes))
         padded = pad_to_multiple(arr, tile * self.n_shards)
+        shard_len = len(padded) // self.n_shards
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         text_dev = jax.device_put(jnp.asarray(padded), sharding)
         words_dev = jax.device_put(
@@ -419,7 +466,7 @@ class DistributedMultiMatcher:
             jax.tree.map(jnp.asarray, self.matcher.tables),
         )
         if self.config.dist_gather == "count_sized":
-            counts, maxc, overflowed, goff_sh = out
+            counts, maxc, overflowed, shard_counts, goff_sh = out
             counts = np.asarray(counts)
             bucket = _pick_bucket(int(maxc), self.config.capacity)
             if bucket == 0:
@@ -429,10 +476,16 @@ class DistributedMultiMatcher:
                     _bucket_gather(self.mesh, bucket)(goff_sh)
                 )  # (D, k, bucket)
         else:
-            counts, all_offs, overflowed = out
+            counts, all_offs, overflowed, shard_counts = out
             counts = np.asarray(counts)
             all_offs = np.asarray(all_offs)  # (D, k, cap)
-        overflowed = np.asarray(overflowed)
+        return (counts, all_offs, np.asarray(overflowed),
+                np.asarray(shard_counts), shard_len)
+
+    def match(self, data) -> list[MatchResult]:
+        arr = as_byte_array(data)
+        n = len(arr)
+        counts, all_offs, overflowed, _sc, _sl = self._match_raw(arr)
         out = []
         for p in range(self.k):
             offs = all_offs[:, p, :].reshape(-1)
@@ -447,4 +500,55 @@ class DistributedMultiMatcher:
                     overflow=bool(int(overflowed[p]) > 0),
                 )
             )
+        return out
+
+    def match_all(self, data) -> list[MatchResult]:
+        """``match`` with the overflow drain: every (shard, pattern) slot
+        whose gathered row is incomplete is re-extracted host-side over
+        the shard's owned range with a per-pattern single matcher (see
+        DistributedMatcher.match_all)."""
+        from ..models.algorithms import RabinKarpMatcher
+
+        arr = as_byte_array(data)
+        n = len(arr)
+        counts, all_offs, overflowed, shard_counts, shard_len = (
+            self._match_raw(arr)
+        )
+        singles: dict[int, RabinKarpMatcher] = {}
+        out = []
+        for p in range(self.k):
+            if not int(overflowed[p]):
+                offs = all_offs[:, p, :].reshape(-1)
+                offs = np.sort(offs[offs >= 0]).astype(np.int64)
+                out.append(MatchResult(
+                    algo=f"rabin_karp_multi@mesh{self.n_shards}",
+                    pattern=self.matcher.patterns[p], n=n,
+                    count=int(counts[p]), offsets=offs, overflow=False,
+                ))
+                continue
+            parts = []
+            for s in range(self.n_shards):
+                c_sp = int(shard_counts[s, p])
+                if c_sp == 0:
+                    continue
+                row = valid_prefix(all_offs[s, p]).astype(np.int64)
+                if len(row) == c_sp:
+                    parts.append(row)
+                else:
+                    if p not in singles:
+                        singles[p] = RabinKarpMatcher(
+                            self.matcher.patterns[p], self.config
+                        )
+                    parts.append(singles[p].extract_range(
+                        arr, s * shard_len,
+                        min((s + 1) * shard_len, n), c_sp,
+                    ))
+            offsets = (np.concatenate(parts) if parts
+                       else np.empty(0, np.int64))
+            assert len(offsets) == int(counts[p])
+            out.append(MatchResult(
+                algo=f"rabin_karp_multi@mesh{self.n_shards}",
+                pattern=self.matcher.patterns[p], n=n,
+                count=int(counts[p]), offsets=offsets, overflow=False,
+            ))
         return out

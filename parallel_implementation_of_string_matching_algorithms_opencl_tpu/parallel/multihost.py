@@ -254,6 +254,7 @@ def match_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    drain: bool = False,
 ):
     """End-to-end multi-host match over a shared corpus file (SURVEY.md
     §3.3, BASELINE.json:11 config 5).
@@ -268,12 +269,18 @@ def match_multihost(
     (count, overflow) and of the fixed-capacity offset buffers — the
     multi-process form of the psum/all-gather merge in parallel/dist.py.
 
+    ``drain=True`` runs the local scan as ``match_all`` (windowed
+    re-extraction per host slice), so the gathered offsets are COMPLETE
+    even past per-host capacity.  Either way the offset gather is the
+    count-sized two-phase form (``_allgather_ragged_i64``) — DCN traffic
+    scales with the result, not with capacity.
+
     Every process must call this collectively; all return the identical
     global MatchResult.
     """
     import jax
 
-    from ..models.base import MatchResult
+    from ..models.base import MatchResult, valid_prefix
     from ..models.registry import get_matcher
     from ..utils.config import DEFAULT_CONFIG
 
@@ -285,12 +292,16 @@ def match_multihost(
     pid, pc = info["process_id"], info["process_count"]
     size = os.path.getsize(path)
     arr, offset, owned = load_host_slice(path, len(pattern), pid, pc)
-    local = get_matcher(algo)(pattern, cfg).match(arr)
-    # Drop FILL(-1) holes BEFORE rebasing (the screened sparse paths can
-    # leave interior -1 entries when candidate blocks exceed the gather
-    # tier) — rebasing first would turn them into phantom offset-1 hits.
-    local_offs = local.offsets.astype(np.int64)
-    local_offs = local_offs[local_offs >= 0] + offset
+    matcher = get_matcher(algo)(pattern, cfg)
+    local = matcher.match_all(arr) if drain else matcher.match(arr)
+    # Trim at the first FILL(-1) hole BEFORE rebasing (the screened sparse
+    # paths can leave interior -1 entries when candidate blocks exceed the
+    # gather tier, and entries past a hole may be preceded by missed
+    # matches) — rebasing first would turn fills into phantom offset-1
+    # hits.
+    local_offs = valid_prefix(
+        np.asarray(local.offsets, np.int64)
+    ) + offset
 
     if pc == 1:
         return MatchResult(
@@ -304,12 +315,7 @@ def match_multihost(
     stats = multihost_utils.process_allgather(
         np.array([local.count, int(local.overflow)], np.int64), tiled=False
     ).reshape(pc, 2)
-    buf = np.full(cfg.capacity, -1, np.int64)
-    buf[: len(local_offs)] = local_offs
-    all_offs = np.asarray(
-        multihost_utils.process_allgather(buf, tiled=False)
-    ).reshape(-1)
-    offs = np.sort(all_offs[all_offs >= 0])
+    offs = _allgather_ragged_i64(local_offs, pc)
     return MatchResult(
         algo=f"{algo}@hosts{pc}",
         pattern=pattern,

@@ -58,6 +58,8 @@ def main() -> int:
             process_id=pid,
         )
     else:
+        if mode == "drain":
+            cfg = cfg.replace(capacity=16)
         res = multihost.match_multihost(
             corpus,
             patterns[0],
@@ -66,6 +68,7 @@ def main() -> int:
             coordinator_address=f"localhost:{port}",
             num_processes=nprocs,
             process_id=pid,
+            drain=(mode == "drain"),
         )
     reslist = res if isinstance(res, list) else [res]
     with open(out_path, "w") as f:

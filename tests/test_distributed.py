@@ -177,3 +177,37 @@ def test_dist_count_sized_bucket_overflow_shard():
     res = match_distributed(bytes(text), b"aa", algo="naive", config=cfg)
     assert res.count == len(want) == 599
     assert res.offsets_list() == want
+
+
+@pytest.mark.parametrize("mode", ["count_sized", "fixed"])
+def test_dist_drain_recovers_all_offsets(mode):
+    # Round-3 VERDICT missing #3: per-shard capacity overflow on the mesh
+    # must still return EVERY offset with drain=True. capacity 16 << 599
+    # matches packed into shard 0 (and some in shard 5).
+    cfg = CFG.replace(capacity=16, dist_gather=mode)
+    text = bytearray(b"." * 4096)
+    text[0:600] = b"a" * 600          # 599 'aa' matches in shard 0
+    text[2560:2600] = b"a" * 40       # 39 more inside shard 5
+    want = find_all(bytes(text), b"aa")
+    res = match_distributed(bytes(text), b"aa", algo="naive", config=cfg,
+                            drain=True)
+    assert res.count == len(want) == 638
+    assert not res.overflow
+    assert res.offsets_list() == want
+
+
+def test_dist_multi_drain_recovers_all_offsets():
+    # Multi-pattern mesh drain: one pattern overflows per-shard capacity,
+    # the other doesn't; both must come back complete.
+    cfg = CFG.replace(capacity=16)
+    text = bytearray(b"." * 4096)
+    text[0:200] = b"ab" * 100         # 100 'ab' in shard 0 (> cap 16)
+    text[3000:3008] = b"cd" * 4       # 4 'cd' in shard 5/6
+    pats = [b"ab", b"cd"]
+    wants = [find_all(bytes(text), p) for p in pats]
+    rs = match_distributed(bytes(text), pats, algo="rabin_karp",
+                           config=cfg, drain=True)
+    for r, want in zip(rs, wants):
+        assert r.count == len(want)
+        assert not r.overflow
+        assert r.offsets_list() == want

@@ -259,20 +259,39 @@ class Matcher:
             else 4096
         return int(np.lcm(self.config.pad_multiple, tile))
 
+    def _aot_enabled(self, n: int) -> bool:
+        """Route through the cross-process AOT executable cache
+        (utils/aot.py) when the compile is worth persisting: kernel-sized
+        text on a real accelerator backend (sub-MB executables compile in
+        well under a second; CPU-mesh tests churn shapes constantly)."""
+        from ..kernels import swar as _swar
+
+        return (
+            n >= _swar.MIN_KERNEL_BYTES
+            and jax.default_backend() not in ("cpu",)
+            and not self.config.interpret
+        )
+
     def match(self, data) -> MatchResult:
+        from ..utils import aot
+
         arr = as_byte_array(data)
         n = len(arr)
         padded = pad_to_multiple(arr, self._pad_target(n))
-        count, offsets, overflow = self._runner(self.config)(
-            jnp.asarray(padded),
-            # Same bytes as a zero-copy (N/4096, 1024) int32 host view —
-            # pre-shaped so the kernels and the sparse reconstruction never
-            # pay an in-jit 1-D -> 2-D relayout (kernels/swar.py module
-            # docstring, round-3 feed rework).
-            jnp.asarray(padded.view(np.int32).reshape(-1, 1024)),
-            jnp.int32(n),
-            jnp.asarray(self.pattern_arr),
-            self.tables,
+        count, offsets, overflow = aot.call(
+            self._runner(self.config),
+            (
+                jnp.asarray(padded),
+                # Same bytes as a zero-copy (N/4096, 1024) int32 host view
+                # — pre-shaped so the kernels and the sparse reconstruction
+                # never pay an in-jit 1-D -> 2-D relayout (kernels/swar.py
+                # module docstring, round-3 feed rework).
+                jnp.asarray(padded.view(np.int32).reshape(-1, 1024)),
+                jnp.int32(n),
+                jnp.asarray(self.pattern_arr),
+                self.tables,
+            ),
+            enabled=self._aot_enabled(n),
         )
         count = int(count)
         kept = min(count, self.config.capacity)

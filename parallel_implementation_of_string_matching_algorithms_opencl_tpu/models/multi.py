@@ -196,17 +196,28 @@ class RabinKarpMultiMatcher:
         )
 
     def match(self, data) -> list[MatchResult]:
+        from ..kernels import swar as _swar
+        from ..utils import aot
+
         arr = as_byte_array(data)
         n = len(arr)
         padded = pad_to_multiple(
             arr, int(np.lcm(self.config.pad_multiple, 4096))
         )
-        counts, offsets, overflows = self._runner(self.config, self.k)(
-            jnp.asarray(padded),
-            jnp.asarray(padded.view(np.int32).reshape(-1, 1024)),
-            jnp.int32(n),
-            jnp.asarray(self.pattern_arr),
-            self.tables,
+        counts, offsets, overflows = aot.call(
+            self._runner(self.config, self.k),
+            (
+                jnp.asarray(padded),
+                jnp.asarray(padded.view(np.int32).reshape(-1, 1024)),
+                jnp.int32(n),
+                jnp.asarray(self.pattern_arr),
+                self.tables,
+            ),
+            enabled=(
+                n >= _swar.MIN_KERNEL_BYTES
+                and jax.default_backend() not in ("cpu",)
+                and not self.config.interpret
+            ),
         )
         counts = np.asarray(counts)
         offsets = np.asarray(offsets)

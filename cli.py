@@ -42,8 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="offset emission mode (default: sparse — kernels "
                          "emit block sums only)")
     ap.add_argument("--bm-probes", default=None,
-                    choices=["table", "table_dyn", "static"],
-                    help="Boyer-Moore screen probe selection")
+                    choices=["table_gs", "table", "table_dyn", "static"],
+                    help="Boyer-Moore screen probe selection (default "
+                         "table_gs: bad-char + good-suffix scored)")
     ap.add_argument("--drain", action="store_true",
                     help="guarantee ALL offsets even past --capacity "
                          "(windowed re-extraction; single-device, "

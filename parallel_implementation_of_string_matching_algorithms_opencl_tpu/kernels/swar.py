@@ -140,7 +140,7 @@ def _probe_indices(M: np.ndarray) -> tuple:
     return tuple(out)
 
 
-def probe_table(pattern: np.ndarray) -> np.ndarray:
+def probe_table(pattern: np.ndarray, use_gs: bool = False) -> np.ndarray:
     """int32[4, 2] bad-character-scored probe word indices per alignment
     (SURVEY.md R4/R10 — the "bad-char skip" heuristic driving the kernel's
     screen).
@@ -154,6 +154,14 @@ def probe_table(pattern: np.ndarray) -> np.ndarray:
     surface — e.g. periodic patterns).  The best pair wins, word separation
     as tiebreak.  Indices ship to the kernel as runtime scalars, so
     same-length patterns share one compiled executable.
+
+    ``use_gs=True`` (bm_probes='table_gs') additionally adds each probe
+    word's summed good-suffix shifts (``ops.tables.bm_good_suffix``) to
+    its score: a word whose 4-byte region sits where pattern suffixes do
+    NOT recur is a stronger anchor against self-similar patterns — the
+    other half of BM's skip rule (BASELINE.json:10 "bad-char + good-
+    suffix skip kernel").  Measured round 4 (exp/gs_probe_bench.py): see
+    BASELINE.md for the adopt/negative record.
     """
     pat = np.asarray(pattern, dtype=np.uint8)
     m = len(pat)
@@ -162,6 +170,11 @@ def probe_table(pattern: np.ndarray) -> np.ndarray:
     for j, c in enumerate(pat.tolist()):
         last[c] = j
     bc = {c: m - 1 - j for c, j in last.items()}
+    gs = None
+    if use_gs:
+        from ..ops import tables as _tables
+
+        gs = _tables.bm_good_suffix(pat)
     grams = {}
     for j in range(max(0, m - 3)):
         g = bytes(pat[j : j + 4])
@@ -175,6 +188,12 @@ def probe_table(pattern: np.ndarray) -> np.ndarray:
         for k in full.tolist():
             b = bytes(pat[4 * k - a : 4 * k - a + 4])
             s = sum(bc[c] for c in b)
+            if gs is not None:
+                # good[j+1] = shift when the suffix pat[j+1:] matched and
+                # pat[j] mismatched: large where this region's suffixes
+                # don't recur elsewhere in the pattern.
+                lo = 4 * k - a
+                s += sum(int(gs[j + 1]) for j in range(lo, lo + 4))
             if grams.get(b, 0) > 1:
                 s -= 16 * m  # repeated 4-gram: weak probe
             scores.append((s, k))

@@ -346,12 +346,14 @@ class BoyerMooreMatcher(Matcher):
     @classmethod
     def _specialize_config(cls, config: MatchConfig,
                            pat: np.ndarray) -> MatchConfig:
-        if config.bm_probes == "table":
+        if config.bm_probes in ("table", "table_gs"):
             # ALWAYS recompute: a config recycled from a different-pattern
             # matcher would otherwise carry that pattern's layout (out-of-
             # range word indices for a shorter pattern -> trace-time
             # IndexError; silently wrong probes for an equal-length one).
-            layout = swar.static_probes_from_table(swar.probe_table(pat))
+            layout = swar.static_probes_from_table(
+                swar.probe_table(pat, use_gs=config.bm_probes == "table_gs")
+            )
             if layout != config.bm_probe_layout:
                 return config.replace(bm_probe_layout=layout)
         return config
@@ -418,7 +420,8 @@ class BoyerMooreMatcher(Matcher):
                 else None
             ),
             static_probes=(
-                config.bm_probe_layout if config.bm_probes == "table"
+                config.bm_probe_layout
+                if config.bm_probes in ("table", "table_gs")
                 else None
             ),
             emit_nib=not sparse,

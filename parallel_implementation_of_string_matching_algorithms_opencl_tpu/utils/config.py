@@ -23,14 +23,20 @@ class MatchConfig:
     bm_chunk: int = 4096
     # 'filtered' (vectorized screen+verify, default) or 'cursor' (skip loop).
     bm_variant: str = "filtered"
-    # Boyer-Moore screen probe selection: 'table' scores candidate probe
-    # words by the pattern's bad-character shifts (rarity-driven) and bakes
-    # them in as compile-time constants (one executable per probe layout —
-    # measured 2.1x faster than runtime scalars); 'table_dyn' ships the
-    # same scores as runtime scalars (one executable per pattern LENGTH,
-    # slower dynamic-rotate screen); 'static' uses the first/last full
-    # words (round-1 behavior, positional not rarity-scored).
-    bm_probes: str = "table"
+    # Boyer-Moore screen probe selection: 'table_gs' (default) scores
+    # candidate probe words by the pattern's bad-character shifts PLUS its
+    # good-suffix shifts — the full BM skip-heuristic pair
+    # (BASELINE.json:10) — and bakes them in as compile-time constants
+    # (one executable per probe layout, measured 2.1x faster than runtime
+    # scalars).  The good-suffix term only changes layouts for partially
+    # self-similar patterns, where it strictly improves screen
+    # selectivity (round-4 exp/gs_probe_bench.py: salted-periodic
+    # candidate blocks 601 -> 0, ordinary english/DNA/UTF-8 layouts
+    # identical).  'table' is the bad-char-only round-3 scoring;
+    # 'table_dyn' ships bad-char scores as runtime scalars (one
+    # executable per pattern LENGTH, slower dynamic-rotate screen);
+    # 'static' uses the first/last full words (round-1 behavior).
+    bm_probes: str = "table_gs"
     # Internal: concrete per-pattern probe layout (tuple[4] of tuples),
     # stamped by BoyerMooreMatcher at construction when bm_probes='table'.
     # Part of the config hash on purpose: it keys the jit/kernel caches.

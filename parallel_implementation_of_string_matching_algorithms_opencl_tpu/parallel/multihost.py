@@ -110,6 +110,26 @@ def load_host_slice(path: str, m: int, process_id: int | None = None,
     return arr, offset, owned
 
 
+def _allgather_i64_exact(arr: "np.ndarray", pc: int) -> "np.ndarray":
+    """process_allgather of an int64 array WITHOUT the silent int64->int32
+    truncation jax applies when x64 mode is off (default): ship hi/lo
+    int32 planes and reassemble.  Offsets past 2 GiB — i.e. any corpus at
+    config-5 scale — would otherwise wrap negative.  Returns (pc, *shape)
+    int64."""
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(arr, np.int64)
+    lo = (arr & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    hi = (arr >> 32).astype(np.int32)
+    both = np.stack([lo, hi])  # int32[2, ...]
+    g = np.asarray(
+        multihost_utils.process_allgather(both, tiled=False)
+    ).reshape((pc,) + both.shape)
+    glo = g[:, 0].astype(np.int64) & 0xFFFFFFFF
+    ghi = g[:, 1].astype(np.int64)
+    return (ghi << 32) | glo
+
+
 def _allgather_ragged_i64(local: "np.ndarray", pc: int) -> "np.ndarray":
     """Two-phase count-sized all-gather of ragged int64 rows over DCN.
 
@@ -120,22 +140,16 @@ def _allgather_ragged_i64(local: "np.ndarray", pc: int) -> "np.ndarray":
     Rows concatenate in process order; with hosts owning ascending file
     ranges and per-host rows sorted, the result is globally sorted.
     """
-    from jax.experimental import multihost_utils
-
     local = np.asarray(local, np.int64)
-    lens = np.asarray(
-        multihost_utils.process_allgather(
-            np.array([len(local)], np.int64), tiled=False
-        )
+    lens = _allgather_i64_exact(
+        np.array([len(local)], np.int64), pc
     ).reshape(pc)
     mx = int(lens.max())
     if mx == 0:
         return np.empty(0, np.int64)
     buf = np.full(mx, -1, np.int64)
     buf[: len(local)] = local
-    rows = np.asarray(
-        multihost_utils.process_allgather(buf, tiled=False)
-    ).reshape(pc, mx)
+    rows = _allgather_i64_exact(buf, pc).reshape(pc, mx)
     return np.concatenate([rows[p, : lens[p]] for p in range(pc)])
 
 
@@ -213,16 +227,10 @@ def match_multihost_streaming(
     if pc == 1:
         return local
 
-    from jax.experimental import multihost_utils
-
     k = len(locals_)
-    stats = np.asarray(
-        multihost_utils.process_allgather(
-            np.array(
-                [[r.count, int(r.overflow)] for r in locals_], np.int64
-            ),
-            tiled=False,
-        )
+    stats = _allgather_i64_exact(
+        np.array([[r.count, int(r.overflow)] for r in locals_], np.int64),
+        pc,
     ).reshape(pc, k, 2)
     results = []
     for i, r in enumerate(locals_):
@@ -310,10 +318,8 @@ def match_multihost(
             overflow=local.overflow,
         )
 
-    from jax.experimental import multihost_utils
-
-    stats = multihost_utils.process_allgather(
-        np.array([local.count, int(local.overflow)], np.int64), tiled=False
+    stats = _allgather_i64_exact(
+        np.array([local.count, int(local.overflow)], np.int64), pc
     ).reshape(pc, 2)
     offs = _allgather_ragged_i64(local_offs, pc)
     return MatchResult(

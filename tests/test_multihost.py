@@ -218,3 +218,21 @@ def test_two_process_multihost_drain(tmp_path):
         assert r["count"] == len(want)
         assert r["offsets"] == want
         assert not r["overflow"]
+
+
+def test_allgather_i64_exact_no_truncation():
+    # Regression: process_allgather silently downcasts int64->int32 when
+    # x64 mode is off, wrapping offsets past 2 GiB negative (caught by the
+    # 10 GB 2-process bench: plants at k*512 MiB came back as -2**31).
+    # The hi/lo-split gather must round-trip exactly, even single-process.
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.multihost import (
+        _allgather_i64_exact,
+        _allgather_ragged_i64,
+    )
+
+    vals = np.array([0, 1, 2**31 - 1, 2**31, 2**33 + 7, 99_999_999_999, -1],
+                    np.int64)
+    got = _allgather_i64_exact(vals, 1)
+    assert got.shape == (1, 7) and np.array_equal(got[0], vals)
+    rag = _allgather_ragged_i64(vals[vals >= 0], 1)
+    assert np.array_equal(rag, vals[vals >= 0])

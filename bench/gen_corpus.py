@@ -12,7 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from matrix import _gen_corpus_file  # noqa: E402
 
 TOTAL = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000_000_000
-PATH = "/root/repo/.corpora/c5_100gb.bin"
+# One corpus file per size (a 10 GB proxy and the full 100 GB coexist).
+PATH = f"/root/repo/.corpora/c5_{TOTAL // 1_000_000_000}gb.bin"
 PAT = b"shard merge psum"
 
 

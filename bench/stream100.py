@@ -23,7 +23,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import time
 
-PATH = "/root/repo/.corpora/c5_100gb.bin"
+PATH_FMT = "/root/repo/.corpora/c5_{}gb.bin"
 ALGOS = ["naive", "rabin_karp", "kmp", "boyer_moore"]
 
 
@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--algos", default=",".join(ALGOS))
     args = ap.parse_args()
+    # One corpus file per size: a 10 GB overlap-proxy run and the full
+    # 100 GB coexist (generate with: python bench/gen_corpus.py <bytes>).
+    PATH = PATH_FMT.format(int(args.gb))
 
     import numpy as np
 
@@ -105,7 +108,9 @@ def main():
     for r in results:
         emit({
             "config": 5,
-            "algo": f"{r.algo.split('@')[0]}_stream100",
+            # size-tagged: a 10 GB overlap-proxy row must never shadow the
+            # stated-scale 100 GB row in report.py's latest-row lookup
+            "algo": f"{r.algo.split('@')[0]}_stream{int(args.gb)}",
             "n_bytes": size,
             # ONE shared stream: wall covers disk read + ship + ALL FOUR
             # algorithms' scans + resolve — it is the run's aggregate, not
@@ -121,6 +126,9 @@ def main():
             "io_read_s": round(stats.get("read_s", 0), 1),
             "dispatch_s": round(stats.get("dispatch_s", 0), 1),
             "resolve_s": round(stats.get("resolve_s", 0), 1),
+            "resolve_overlap_note": "resolve_s is resolver-THREAD busy "
+                "time overlapped with the next chunks' read+dispatch; "
+                "hidden cost = wall - read - dispatch",
             "io_path": "axon-tunnel-transfer-bound",
         })
     assert ok, "100GB stream parity FAILED"

@@ -263,15 +263,27 @@ class RabinKarpMatcher(Matcher):
 class KMPMatcher(Matcher):
     """Branchless prefix-automaton scan (SURVEY.md R3, R8).
 
-    Two executions of the same automaton semantics:
-    - TPU (m <= 32): bit-parallel Shift-AND Pallas kernel — the branchless
+    Three executions of the same automaton semantics:
+    - TPU, m <= 32: bit-parallel Shift-AND Pallas kernel — the branchless
       ``D = ((D<<1)|1) & B[byte]`` step with per-byte dynamic_gather table
       lookups (kernels/shift_and.py).
-    - Reference/CPU/long patterns: dense-DFA ``state = dfa[state, byte]``
-      lane-parallel lax.scan (ops/kmp.py).
+    - TPU, m > 32 (``config.kmp_long='screen'``, default): the SAME K=1
+      kernel runs the prefix automaton of ``pattern[:32]`` as a candidate
+      SCREEN; the shared word-compare reconstruction re-verifies every
+      candidate against the full pattern (``extract_region`` recounts by
+      exact window compare in every branch), so the match set is
+      byte-identical to the full automaton at K=1 scan speed.  The K-word
+      carry-rippled automaton (m <= 256) remains via
+      ``config.kmp_long='ripple'``.
+    - Reference/CPU/very long patterns: dense-DFA
+      ``state = dfa[state, byte]`` lane-parallel lax.scan (ops/kmp.py).
     """
 
     name = "kmp"
+
+    # Screen-mode verify window bound: reconstruct._verify_chunks reads one
+    # following 1024-word row, so the SWAR pattern words must fit it.
+    MAX_SCREEN_M = 4000
 
     @classmethod
     def _tile_bytes(cls, config: MatchConfig) -> int:
@@ -283,20 +295,46 @@ class KMPMatcher(Matcher):
         t = {"dfa": tables.kmp_dfa(pat), **_swar_tables(pat)}
         if shift_and.shift_and_supported(len(pat)):
             t["sa_bt"] = shift_and.b_table(pat)
+        if 32 < len(pat) <= self.MAX_SCREEN_M:
+            t["sa_bt32"] = shift_and.b_table(pat[:32])
         return t
+
+    @classmethod
+    def _screen_mode(cls, m: int, tables_, config: MatchConfig) -> bool:
+        return (
+            m > 32
+            and config.kmp_long == "screen"
+            and config.emission == "sparse"
+            and "sa_bt32" in tables_
+        )
 
     @classmethod
     def _direct(cls, text, words, n, pattern, tables_, config: MatchConfig):
         m = pattern.shape[0]
-        if not (
-            shift_and.shift_and_supported(m)
-            and "sa_bt" in tables_
-            and _pallas_backend_ok(config)
+        screen = cls._screen_mode(m, tables_, config)
+        if not _pallas_backend_ok(config) or not (
+            screen
+            or (shift_and.shift_and_supported(m) and "sa_bt" in tables_)
         ):
             return None
         bsums = nib = None
         x2d = reconstruct.full_words2d(text, words)
-        if config.emission == "sparse":
+        if screen:
+            # Prefix-automaton candidate screen (see class docstring):
+            # bsums are per-block counts of pattern[:32] prefix starts — a
+            # candidate SUPERSET of the full-m match starts, made exact by
+            # extract_region's full-pattern window verify.  cut and
+            # limit_k use the FULL m so the region split stays correct.
+            bsums, cut = shift_and.kmp_bsums(
+                text, n, tables_["sa_bt32"], 32,
+                chunk_bytes=config.pallas_chunk_bytes,
+                interpret=config.interpret, words=x2d,
+            )
+            if bsums is None and not (
+                shift_and.shift_and_supported(m) and "sa_bt" in tables_
+            ):
+                return None  # odd chunk size and no ripple fallback
+        if bsums is None and config.emission == "sparse" and "sa_bt" in tables_:
             # Bsums-only scan: the end->start fold and validity live in
             # VMEM; offsets come back via the word-space sparse
             # reconstruction (== the automaton's match set exactly).

@@ -19,6 +19,17 @@ class MatchConfig:
     verify_capacity: int = 131072
     # Lane chunk length for the KMP DFA scan (smaller = more lanes).
     kmp_chunk: int = 2048
+    # KMP execution for m > 32 (state no longer fits one Shift-AND word):
+    # 'screen' (default) runs the K=1 prefix automaton on pattern[:32] as a
+    # candidate screen — the shared word-compare reconstruction
+    # (ops/reconstruct.extract_region) re-verifies every candidate against
+    # the FULL pattern, so output is byte-identical to the automaton while
+    # the scan stays at K=1 speed (round-3 measured the K-word carry
+    # ripple falling as ~1/K: m=256 ran 5x slower than m<=32).  Extends
+    # kernel coverage to any m the verify window supports (~4000 bytes).
+    # 'ripple' keeps the faithful K=ceil(m/32)-word carry-rippled automaton
+    # (m <= 256).
+    kmp_long: str = "screen"
     # Lane chunk length for the honest BM cursor variant.
     bm_chunk: int = 4096
     # 'filtered' (vectorized screen+verify, default) or 'cursor' (skip loop).

@@ -459,6 +459,61 @@ def test_kmp_bsums_kernel_parity(m):
     assert rs.offsets_list() == rn.offsets_list() == expected
 
 
+@pytest.mark.parametrize("m", [33, 64, 300, 1024])
+def test_kmp_long_screen_parity(m):
+    # m > 32: the K=1 prefix-automaton SCREEN + full-pattern window verify
+    # (config.kmp_long='screen', default) must equal the oracle — incl.
+    # m > 256, which the carry-ripple kernel cannot reach — and, where the
+    # ripple exists (m <= 256), equal it exactly.
+    C = 4096
+    cfg4 = CFG.replace(pallas_chunk_bytes=C)
+    data = bytearray(gen_english(128 * C + 257, seed=400 + m))
+    pat = bytes(gen_english(m, seed=500 + m))
+    Cp = C // 8
+    for pos in (Cp * 5 - 1, C * 17 - m // 2, 128 * C - m):
+        data[pos : pos + m] = pat
+    # Salt with prefix-only near-misses: screen candidates that the full
+    # verify must reject.
+    near = pat[:32] + bytes(gen_english(max(m - 32, 1), seed=600 + m))
+    for pos in (C * 3, C * 90 + 7):
+        data[pos : pos + m] = near[:m]
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert expected
+    # The screen kernel must actually engage (m > 256 especially: no
+    # ripple table exists there, so a silent fallback would be the dense
+    # DFA — a hollow test).
+    matcher = KMPMatcher(pat, cfg4)
+    assert "sa_bt32" in matcher.tables
+    rs = matcher.match(text)
+    assert rs.count == len(expected)
+    assert rs.offsets_list() == expected
+    if m <= 256:
+        rr = KMPMatcher(pat, cfg4.replace(kmp_long="ripple")).match(text)
+        assert rr.count == rs.count
+        assert rr.offsets_list() == rs.offsets_list()
+
+
+def test_kmp_long_screen_prefix_flood_dense_escalation():
+    # Adversarial: every 32-byte prefix window matches (periodic text) but
+    # the full pattern only at planted sites — the candidate flood must
+    # escalate to the dense rescan and stay exact.
+    C = 4096
+    cfg4 = CFG.replace(pallas_chunk_bytes=C)
+    m = 64
+    unit = bytes(gen_english(32, seed=777))
+    pat = unit + bytes(gen_english(32, seed=778))
+    data = bytearray(unit * ((128 * C + 257) // 32 + 1))[: 128 * C + 257]
+    for pos in (C - 1, C * 40 + 13, 128 * C - m):
+        data[pos : pos + m] = pat
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert len(expected) >= 3
+    rs = KMPMatcher(pat, cfg4).match(text)
+    assert rs.count == len(expected)
+    assert rs.offsets_list() == expected
+
+
 @pytest.mark.parametrize("m", [4, 64, 509])
 def test_rk_bsums_screen_parity(m):
     # Candidate-bsums screen + window-compare reconstruction (verify +

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["table_gs", "table", "table_dyn", "static"],
                     help="Boyer-Moore screen probe selection (default "
                          "table_gs: bad-char + good-suffix scored)")
+    ap.add_argument("--kmp-long", default=None,
+                    choices=["screen", "ripple"],
+                    help="KMP execution for m>32 (default screen: K=1 "
+                         "prefix-automaton candidate screen + full-m "
+                         "verify; ripple: faithful K-word carry-rippled "
+                         "automaton, m<=256)")
     ap.add_argument("--drain", action="store_true",
                     help="guarantee ALL offsets even past --capacity "
                          "(windowed re-extraction; single-device, "
@@ -133,6 +139,8 @@ def main(argv=None) -> int:
             overrides["emission"] = args.emission
         if args.bm_probes:
             overrides["bm_probes"] = args.bm_probes
+        if args.kmp_long:
+            overrides["kmp_long"] = args.kmp_long
         if args.distributed:
             out = match_distributed(
                 text,

@@ -64,7 +64,13 @@ def timed_chain(fn, n, *args, passes=3):
 
 
 def main():
-    n = 1 << 30
+    # 256 MiB default: at 1 GiB an earlier draft CLOSED OVER td/wd, which
+    # jax embeds as literal constants in the lowered module — the 2 GB
+    # compile request hung the tunnel for 25+ min and then failed with
+    # HTTP 413 at 512 MB (lesson recorded: operands must be jit ARGUMENTS
+    # over a remote-compile tunnel).  Stage RATIOS at 256 MiB transfer;
+    # the official config-2 row re-measures the end state at 1 GB.
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256 << 20
     text = gen_english(n, seed=2)
     pats = [
         b"quick brown fox ", b"lazy dog and cat", b"parallel device ",
@@ -89,8 +95,11 @@ def main():
             chunk_bytes=cfg.pallas_chunk_bytes, words=w)
         return bs.reshape(-1)[0] + cut, bs, cut
 
-    t_scan = timed_chain(lambda nn: scan(nn, td, wd)[0], n)
-    _, bs, cut = jax.jit(lambda nn: scan(nn, td, wd))(jnp.int32(n))
+    scan_j = jax.jit(scan)
+    print("compiling scan ...", flush=True)
+    _, bs, cut = scan_j(jnp.int32(n), td, wd)
+    cut = int(cut)  # static region split, as in models/multi.py
+    t_scan = timed_chain(lambda nn, t, w: scan_j(nn, t, w)[0], n, td, wd)
     bs = jax.device_put(bs)
     nb = int(bs.shape[0])
     nblk_real = int(jnp.sum(bs > 0))
@@ -102,21 +111,19 @@ def main():
     Mnp = swar.mask_words(m)
     M = jnp.asarray(Mnp)
     nw = Mnp.shape[1]
-    x2d = wd
-    xblk_shape = (x2d.shape[0] * 8, 128)
     tiers = sorted({min(t_, nb) for t_ in reconstruct.MULTI_BLOCK_TIERS})
     cap_b = next(t_ for t_ in tiers if t_ >= nblk_real)
     print(f"tiers={tiers} selected cap_b={cap_b}", flush=True)
 
-    def m0(nn, bs_):
+    def m0(nn, bs_, t, w):
         return jnp.sum(bs_ > 0, dtype=jnp.int32) + (nn & 0)
 
-    def m1(nn, bs_):
+    def m1(nn, bs_, t, w):
         bids = extract.sorted_nonzero_ids(bs_, cap_b, fill=nb)
         return bids.reshape(-1)[0] + (nn & 0)
 
-    def _gather(bs_):
-        xblk = x2d.reshape(-1, 128)
+    def _gather(bs_, w):
+        xblk = w.reshape(-1, 128)
         R8 = xblk.shape[0]
         bids = extract.sorted_nonzero_ids(bs_, cap_b, fill=nb)
         bc = jnp.clip(bids, 0, R8 - 1)
@@ -124,12 +131,12 @@ def main():
             [xblk[bc], xblk[jnp.clip(bc + 1, 0, R8 - 1)][:, :nw]], axis=1)
         return bids, win
 
-    def m2(nn, bs_):
-        bids, win = _gather(bs_)
+    def m2(nn, bs_, t, w):
+        bids, win = _gather(bs_, w)
         return win.reshape(-1)[0] + bids.reshape(-1)[0] + (nn & 0)
 
-    def _verify(bs_, lim):
-        bids, win = _gather(bs_)
+    def _verify(bs_, lim, w):
+        bids, win = _gather(bs_, w)
         word_pos = bids[:, None] * 512 + 4 * jnp.arange(
             128, dtype=jnp.int32)[None, :]
         pay = []
@@ -152,18 +159,18 @@ def main():
         rc = jnp.sum(extract._popcount4(union_nib), axis=1)
         return bids, pay, union_nib, rc
 
-    def m3(nn, bs_, lim):
-        bids, pay, union_nib, rc = _verify(bs_, lim)
+    def m3(nn, bs_, lim, t, w):
+        bids, pay, union_nib, rc = _verify(bs_, lim, w)
         return jnp.sum(rc, dtype=jnp.int32) + (nn & 0)
 
-    def m4(nn, bs_, lim):
-        bids, pay, union_nib, rc = _verify(bs_, lim)
+    def m4(nn, bs_, lim, t, w):
+        bids, pay, union_nib, rc = _verify(bs_, lim, w)
         pos_base = bids * 512
         keys, vals = extract.slot_decode(union_nib, rc, pos_base, 4, pay)
         return keys.reshape(-1)[0] + vals.reshape(-1)[0] + (nn & 0)
 
-    def _union(bs_, lim):
-        bids, pay, union_nib, rc = _verify(bs_, lim)
+    def _union(bs_, lim, w):
+        bids, pay, union_nib, rc = _verify(bs_, lim, w)
         pos_base = bids * 512
         T = 4
         keys, vals = extract.slot_decode(union_nib, rc, pos_base, T, pay)
@@ -188,12 +195,12 @@ def main():
         srt_k, srt_v = jax.lax.sort((flat_k, flat_v), num_keys=1)
         return srt_k[:cap], srt_v[:cap], ok
 
-    def m5(nn, bs_, lim):
-        upos, uval, ok = _union(bs_, lim)
+    def m5(nn, bs_, lim, t, w):
+        upos, uval, ok = _union(bs_, lim, w)
         return upos.reshape(-1)[0] + uval.reshape(-1)[0] + (nn & 0)
 
-    def m6(nn, bs_, lim):
-        upos, uval, ok = _union(bs_, lim)
+    def m6(nn, bs_, lim, t, w):
+        upos, uval, ok = _union(bs_, lim, w)
         acc = jnp.int32(0)
         for p in range(k):
             keyp = jnp.where(((uval >> p) & 1) == 1, upos,
@@ -202,27 +209,27 @@ def main():
             acc = acc + sp[0]
         return acc + (nn & 0)
 
-    def m7(nn, bs_, lim):
+    def m7(nn, bs_, lim, t, w):
         saved = reconstruct.MULTI_BLOCK_TIERS
         try:
             reconstruct.MULTI_BLOCK_TIERS = (cap_b,)
             c, o, v = reconstruct.extract_region_multi(
-                bs_, x2d, td, n, patterns, P_all, lim, cap, cfg)
+                bs_, w, t, n, patterns, P_all, lim, cap, cfg)
         finally:
             reconstruct.MULTI_BLOCK_TIERS = saved
         return c.reshape(-1)[0] + o.reshape(-1)[0] + (nn & 0)
 
-    def m8(nn, bs_, lim):
+    def m8(nn, bs_, lim, t, w):
         c, o, v = reconstruct.extract_region_multi(
-            bs_, x2d, td, n, patterns, P_all, lim, cap, cfg)
+            bs_, w, t, n, patterns, P_all, lim, cap, cfg)
         return c.reshape(-1)[0] + o.reshape(-1)[0] + (nn & 0)
 
-    def tail_merge(nn, lim):
+    def tail_merge(nn, lim, t, w):
         # the caller epilogue: tail masks + per-pattern mask_to_matches +
         # merge_region_matches at full capacity (models/multi.py)
         cut_ = cut
         tail_masks = rk_ops.rk_multi_start_masks(
-            td[cut_:], patterns, tb["powers"], tb["hashes"], cap)
+            t[cut_:], patterns, tb["powers"], tb["hashes"], cap)
         acc = jnp.int32(0)
         c1 = jnp.int32(100)
         o1 = jnp.full((cap,), -1, jnp.int32)
@@ -238,28 +245,28 @@ def main():
 
     runner = RabinKarpMultiMatcher._runner(cfg, k)
 
-    def full(nn):
-        c, o, v = runner(td, wd, nn, patterns, tb)
+    def full(nn, t, w):
+        c, o, v = runner(t, w, nn, patterns, tb)
         return c.reshape(-1)[0] + o.reshape(-1)[0]
 
     rows = []
     for name, fn, args in [
-        ("M0_prepass", m0, (bs,)),
-        ("M1_rank_select", m1, (bs,)),
-        ("M2_gather", m2, (bs,)),
-        ("M3_verify", m3, (bs, limit)),
-        ("M4_slot_decode", m4, (bs, limit)),
-        ("M5_union_sort", m5, (bs, limit)),
-        ("M6_pattern_sorts", m6, (bs, limit)),
-        ("M7_full_fixed_tier", m7, (bs, limit)),
-        ("M8_full_switch", m8, (bs, limit)),
-        ("TAIL_merge_epilogue", tail_merge, (limit,)),
+        ("M0_prepass", m0, (bs, td, wd)),
+        ("M1_rank_select", m1, (bs, td, wd)),
+        ("M2_gather", m2, (bs, td, wd)),
+        ("M3_verify", m3, (bs, limit, td, wd)),
+        ("M4_slot_decode", m4, (bs, limit, td, wd)),
+        ("M5_union_sort", m5, (bs, limit, td, wd)),
+        ("M6_pattern_sorts", m6, (bs, limit, td, wd)),
+        ("M7_full_fixed_tier", m7, (bs, limit, td, wd)),
+        ("M8_full_switch", m8, (bs, limit, td, wd)),
+        ("TAIL_merge_epilogue", tail_merge, (limit, td, wd)),
     ]:
         jf = jax.jit(fn)
         t = timed_chain(jf, n, *args)
         rows.append((name, t))
         print(f"{name:22s} {t*1e3:8.2f} ms", flush=True)
-    t_full = timed_chain(jax.jit(full), n)
+    t_full = timed_chain(jax.jit(full), n, td, wd)
     print(f"{'SCAN_bsums':22s} {t_scan*1e3:8.2f} ms", flush=True)
     print(f"{'FULL_runner':22s} {t_full*1e3:8.2f} ms  "
           f"({n/t_full/1e9:.1f} GB/s)", flush=True)

@@ -94,6 +94,9 @@ def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
         if (v & 0xFFFFFFFF) >= (1 << 31) else (v & 0xFFFFFFFF)
     Bu = B & 0xFFFFFFFF
     B2, B3, B4 = wrap(Bu * Bu), wrap(Bu**3), wrap(Bu**4)
+    # Hoist the k target hashes out of the word/byte loops: tgt_ref[p]
+    # inside them is 4*8*k scalar-load+broadcasts per group.
+    tgts = [tgt_ref[p] for p in range(k)]
 
     def group(g, H):
         base = pl.multiple_of(g * 8, 8)
@@ -121,10 +124,17 @@ def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
             Hs = (H * B + ts[0], H * B2 + ts[1],
                   H * B3 + ts[2], H * B4 + ts[3])
             nib = jnp.zeros((8, 128), jnp.int32)
+            # k-membership floor (round-4 measured): the screen needs
+            # ~k cmp + (k-1) or per position — k=8 measured 12.2 ms vs
+            # k=1's 4.1 at 256 MiB, ~2x the ~15-op/position VPU floor
+            # (same efficiency ratio as k=1, so it is throughput, not the
+            # chain).  Tree-OR of the compares measured 13.3 ms (no win,
+            # recorded); hoisting the k SMEM target reads out of the
+            # word/byte loops (tgts above) is kept as the cheap form.
             for b in range(4):
                 hit = None
                 for p in range(k):
-                    eq = Hs[b] == tgt_ref[p]
+                    eq = Hs[b] == tgts[p]
                     hit = eq if hit is None else (hit | eq)
                 nib |= hit.astype(jnp.int32) << b
             H = Hs[3]

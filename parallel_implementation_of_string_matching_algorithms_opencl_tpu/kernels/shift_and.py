@@ -365,6 +365,19 @@ def _kernel(n_ref, bt_ref, *refs, G, m, K,
     # 15.65 (m=64).  Mosaic pipelines the 3-op/byte dependency chain
     # already; the composed form's extra per-byte hit-extraction vector
     # ops cost more than the shortened chain saves.  Default: per-byte.
+    #
+    # Composed-2 (round-4 VERDICT #4a) is a recorded STRUCTURAL negative,
+    # bracketed by the composed-4 measurement above: (i) a precomputed
+    # pair table BB[c1*256+c2] = (B[c1]<<1) & B[c2] cannot cut gathers —
+    # tpu.dynamic_gather indexes 128 lanes, so a 64Ki-entry lookup
+    # decomposes into a 512-plane select tree (>=9 select levels over 512
+    # gathered planes) vs the 2 half-gathers/byte it would replace; and
+    # (ii) the table-free form ((D<<2)|2) & (B[c1]<<1) & B[c2] | (1&B[c2])
+    # is exactly the mask-commuting identity group_composed applies at
+    # width 4 — same B gathers, same extra hit-extraction ops, HALF the
+    # chain shortening that already lost at width 4.  The per-byte step is
+    # not chain-bound (the hoist experiment showed gathers pipeline), so
+    # no composition width can win.
     group = group_composed if path == "composed" and m >= 5 else group_perbyte
 
     jax.lax.fori_loop(

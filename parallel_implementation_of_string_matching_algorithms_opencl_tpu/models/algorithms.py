@@ -281,9 +281,12 @@ class KMPMatcher(Matcher):
 
     name = "kmp"
 
-    # Screen-mode verify window bound: reconstruct._verify_chunks reads one
-    # following 1024-word row, so the SWAR pattern words must fit it.
-    MAX_SCREEN_M = 4000
+    # Screen-mode m bound: the dense-escalation branch inside
+    # extract_region rescans with the SWAR naive kernel, whose in-kernel
+    # halo covers m <= swar.MAX_PATTERN (509); the verify window itself
+    # (one following 1024-word row) would allow ~4000.  m > 509 falls back
+    # to the dense-DFA jnp path.
+    MAX_SCREEN_M = swar.MAX_PATTERN
 
     @classmethod
     def _tile_bytes(cls, config: MatchConfig) -> int:

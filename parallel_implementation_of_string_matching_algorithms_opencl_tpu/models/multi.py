@@ -165,6 +165,13 @@ class RabinKarpMultiMatcher:
             os1 = jnp.concatenate([p[1] for p in parts])
             vs1 = jnp.concatenate([p[2] for p in parts])
         counts, offsets, overflows = [], [], []
+        # Tail buffers sized to the TAIL, not config.capacity (mirrors
+        # Matcher._merge_tail): after tile-multiple padding the tail is
+        # ~m-1 bytes, but a capacity-sized mask_to_matches pads its sort
+        # to `capacity` PER PATTERN — measured 19.7 ms of the config-2
+        # epilogue at 256 MiB/k=8/cap=2^19 (exp/multi_breakdown.py) for a
+        # 15-byte tail.
+        cap2 = min(config.capacity, int(tail_masks.shape[1]))
         for p in range(k):
             if sparse:
                 c1, o1, v1 = cs1[p], os1[p], vs1[p]
@@ -173,11 +180,21 @@ class RabinKarpMultiMatcher:
                     text, nib, limit_k, n_cand, small_pos, patterns[p],
                     tables_["powers"], tables_["hashes"][p], config,
                 )
-            tail_valid = _emit.valid_start_mask(tail_masks[p], n - cut, m)
-            c2, o2, v2 = _emit.mask_to_matches(tail_valid, config.capacity)
-            c, o, v = _emit.merge_region_matches(
-                c1, o1, v1, c2, o2, v2, config.capacity, cut
-            )
+            if tail_masks.shape[1] == 0:
+                c, o, v = c1, o1, v1
+            else:
+                tail_valid = _emit.valid_start_mask(
+                    tail_masks[p], n - cut, m
+                )
+                if tail_masks.shape[1] <= (1 << 21):
+                    c2, o2, v2 = _emit.mask_to_matches_sorted(
+                        tail_valid, cap2
+                    )
+                else:
+                    c2, o2, v2 = _emit.mask_to_matches(tail_valid, cap2)
+                c, o, v = _emit.merge_region_matches(
+                    c1, o1, v1, c2, o2, v2, config.capacity, cut
+                )
             counts.append(c)
             offsets.append(o)
             overflows.append(v)

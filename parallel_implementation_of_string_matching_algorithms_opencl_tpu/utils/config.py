@@ -26,7 +26,8 @@ class MatchConfig:
     # the FULL pattern, so output is byte-identical to the automaton while
     # the scan stays at K=1 speed (round-3 measured the K-word carry
     # ripple falling as ~1/K: m=256 ran 5x slower than m<=32).  Extends
-    # kernel coverage to any m the verify window supports (~4000 bytes).
+    # kernel coverage from the ripple's m<=256 to m<=509 (the dense-
+    # escalation rescan's SWAR halo bound; larger m uses the dense DFA).
     # 'ripple' keeps the faithful K=ceil(m/32)-word carry-rippled automaton
     # (m <= 256).
     kmp_long: str = "screen"

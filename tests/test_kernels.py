@@ -459,12 +459,13 @@ def test_kmp_bsums_kernel_parity(m):
     assert rs.offsets_list() == rn.offsets_list() == expected
 
 
-@pytest.mark.parametrize("m", [33, 64, 300, 1024])
+@pytest.mark.parametrize("m", [33, 64, 300, 509])
 def test_kmp_long_screen_parity(m):
     # m > 32: the K=1 prefix-automaton SCREEN + full-pattern window verify
     # (config.kmp_long='screen', default) must equal the oracle — incl.
-    # m > 256, which the carry-ripple kernel cannot reach — and, where the
-    # ripple exists (m <= 256), equal it exactly.
+    # m > 256, which the carry-ripple kernel cannot reach (509 = the SWAR
+    # dense-rescan halo bound) — and, where the ripple exists (m <= 256),
+    # equal it exactly.
     C = 4096
     cfg4 = CFG.replace(pallas_chunk_bytes=C)
     data = bytearray(gen_english(128 * C + 257, seed=400 + m))

@@ -351,8 +351,8 @@ def config3(scale):
         out, wall = _time_runner(
             runner, text_dev, words_dev, n, pat_dev, tb_dev
         )
-        count = int(out[0])
-        offs = np.asarray(out[1]).reshape(-1)
+        count, _ovf, _scounts, rows = dm.resolve_runner_output(out)
+        offs = rows.reshape(-1)
         got = sorted(int(x) for x in offs[offs >= 0])
         expected = find_all(bytes(text), pat)
         ok = count == len(expected) and got == expected
@@ -536,8 +536,8 @@ def config5(scale, stream_bytes: int | None = None,
         out, wall = _time_runner(
             runner, text_dev, words_dev, n, pat_dev, tb_dev
         )
-        count = int(out[0])
-        offs = np.asarray(out[1]).reshape(-1)
+        count, _ovf, _scounts, rows = dm.resolve_runner_output(out)
+        offs = rows.reshape(-1)
         got = sorted(int(x) for x in offs[offs >= 0])
         ok = count == len(expected) and got == expected
         emit(

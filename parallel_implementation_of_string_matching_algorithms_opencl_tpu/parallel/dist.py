@@ -256,18 +256,9 @@ class DistributedMatcher:
             jnp.asarray(self.matcher.pattern_arr),
             jax.tree.map(jnp.asarray, self.matcher.tables),
         )
-        if self.config.dist_gather == "count_sized":
-            count, maxc, overflowed, shard_counts, goff_sh = out
-            count = int(count)
-            bucket = _pick_bucket(int(maxc), self.config.capacity)
-            if bucket == 0:
-                rows = np.full((self.n_shards, 1), -1, np.int32)
-            else:
-                rows = np.asarray(_bucket_gather(self.mesh, bucket)(goff_sh))
-        else:
-            count, all_offs, overflowed, shard_counts = out
-            count = int(count)
-            rows = np.asarray(all_offs)  # (D, cap)
+        count, overflowed, shard_counts, rows = self.resolve_runner_output(
+            out
+        )
         res = MatchResult(
             algo=f"{self.matcher.name}@mesh{self.n_shards}",
             pattern=self.matcher.pattern_bytes,
@@ -277,6 +268,27 @@ class DistributedMatcher:
             overflow=bool(int(overflowed) > 0),
         )
         return res, np.asarray(shard_counts), rows, shard_len
+
+    def resolve_runner_output(self, out):
+        """(count:int, overflowed scalar, shard_counts ndarray, rows
+        ndarray) from a raw runner output — the ONLY correct way to read
+        one.  Under the default ``dist_gather='count_sized'`` the runner
+        returns (count, maxc, overflow, shard_counts, SHARDED offsets) and
+        the offsets need the host-dispatched bucket-sized gather;
+        ``out[1]`` is the pmax scalar, NOT offsets (a raw consumer that
+        assumed the fixed-gather signature returned one bogus offset —
+        round-4 bench/matrix.py regression)."""
+        if self.config.dist_gather == "count_sized":
+            count, maxc, overflowed, shard_counts, goff_sh = out
+            bucket = _pick_bucket(int(maxc), self.config.capacity)
+            if bucket == 0:
+                rows = np.full((self.n_shards, 1), -1, np.int32)
+            else:
+                rows = np.asarray(_bucket_gather(self.mesh, bucket)(goff_sh))
+        else:
+            count, all_offs, overflowed, shard_counts = out
+            rows = np.asarray(all_offs)  # (D, cap)
+        return int(count), overflowed, np.asarray(shard_counts), rows
 
     def match(self, data) -> MatchResult:
         arr = as_byte_array(data)

@@ -167,6 +167,54 @@ def test_dist_gather_modes_parity(mode):
     assert res0.count == 0 and res0.offsets_list() == []
 
 
+@pytest.mark.parametrize("mode", ["count_sized", "fixed"])
+def test_dist_resolve_runner_output(mode):
+    # Raw-runner consumers (bench harnesses) must go through
+    # resolve_runner_output: the count_sized runner's out[1] is the pmax
+    # scalar, NOT offsets — reading it raw returned one bogus offset with
+    # an exact count (round-4 config-3 bench regression).  Exercise a
+    # per-shard count > 128 so the bucket escalates past its floor.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.dist import (  # noqa: E501
+        DistributedMatcher,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.mesh import (  # noqa: E501
+        DATA_AXIS,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (  # noqa: E501
+        pad_to_multiple,
+    )
+
+    cfg = CFG.replace(capacity=1024, dist_gather=mode,
+                      pallas_chunk_bytes=512)
+    text = bytearray(b"." * 8192)
+    text[0:400] = b"a" * 400  # 399 'aa' starts in shard 0 (> 128 bucket floor)
+    text[5000:5020] = b"a" * 20
+    want = find_all(bytes(text), b"aa")
+    dm = DistributedMatcher(b"aa", algo="naive", config=cfg)
+    mesh = dm.mesh
+    # pad exactly as _match_raw does (tile-multiple shards)
+    tile = int(np.lcm(cfg.pad_multiple,
+                      type(dm.matcher)._tile_bytes(dm.config)))
+    padded = pad_to_multiple(
+        np.frombuffer(bytes(text), np.uint8),
+        tile * mesh.shape[DATA_AXIS],
+    )
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    td = jax.device_put(jnp.asarray(padded), sh)
+    wd = jax.device_put(jnp.asarray(padded.view(np.int32)), sh)
+    runner = dm._build(mesh, type(dm.matcher), dm.config, dm.m)
+    out = runner(td, wd, jnp.int32(len(text)),
+                 jnp.asarray(dm.matcher.pattern_arr),
+                 jax.tree.map(jnp.asarray, dm.matcher.tables))
+    count, _ovf, _scounts, rows = dm.resolve_runner_output(out)
+    offs = rows.reshape(-1)
+    got = sorted(int(x) for x in offs[offs >= 0])
+    assert count == len(want) and got == want
+
+
 def test_dist_count_sized_bucket_overflow_shard():
     # One shard holds more matches than the 128-floor bucket: pmax must
     # size the gather up so no offset is lost.

@@ -126,6 +126,7 @@ def main():
             "io_read_s": round(stats.get("read_s", 0), 1),
             "dispatch_s": round(stats.get("dispatch_s", 0), 1),
             "resolve_s": round(stats.get("resolve_s", 0), 1),
+            "enqueue_wait_s": round(stats.get("enqueue_wait_s", 0), 1),
             "resolve_overlap_note": "resolve_s is resolver-THREAD busy "
                 "time overlapped with the next chunks' read+dispatch; "
                 "hidden cost = wall - read - dispatch",

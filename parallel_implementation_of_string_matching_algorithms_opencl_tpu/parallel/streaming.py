@@ -51,15 +51,17 @@ class _Unit:
 
 
 @dataclasses.dataclass
-class _Pending:
-    """One in-flight chunk: device futures + host bookkeeping (lists are
-    per caller-pattern index)."""
+class _PendingPacked:
+    """One in-flight chunk: ONE packed device buffer
+    (int32[k + k + k*capacity] = counts | overflow flags | offset rows).
+    Packing on-device makes the resolver's consumption a single
+    device->host transfer — the round-4 10 GB run measured ~12 small
+    fetches/chunk (counts, offsets, overflow x units) each paying a
+    tunnel round-trip, leaving an 89 s resolver-exposed gap."""
 
     chunk_idx: int
     start: int
-    counts: list
-    offsets: list
-    overflows: list
+    packed: object
 
 
 class StreamingMatcher:
@@ -159,6 +161,7 @@ class StreamingMatcher:
         # hosts whose DMA outruns the ~4 GB/s device repack.
         self.ship_words = False
         self._repack = None
+        self._packer = None  # built lazily by _pack_outputs
         # Max in-flight resolved-but-unconsumed chunks (resolver-thread
         # queue bound): each holds k fixed-capacity device result buffers
         # plus keeps its chunk's scan alive.  2 keeps one chunk resolving
@@ -305,6 +308,46 @@ class StreamingMatcher:
 
     # -- main loop ---------------------------------------------------------
 
+    def _pack_outputs(self, unit_outs):
+        """ONE int32 device buffer ``[counts(k) | overflows(k) |
+        offsets(k*capacity)]`` in caller-pattern order.  The resolver then
+        consumes a chunk with a SINGLE device->host transfer instead of
+        ~3k small fetches each paying a tunnel round-trip (round-4 10 GB
+        run: 89 s of resolver-exposed wall from exactly this).  Built once
+        per stream — unit structure and capacity are static."""
+        if self._packer is None:
+            import jax
+            import jax.numpy as jnp
+
+            units = self._units
+            k = self.k
+
+            def pack(*flat):
+                outs = [
+                    tuple(flat[i * 3 : i * 3 + 3])
+                    for i in range(len(units))
+                ]
+                cs: list = [None] * k
+                vs: list = [None] * k
+                os_: list = [None] * k
+                for (c, o, v), u in zip(outs, units):
+                    if u.multi:
+                        for row, gi in enumerate(u.idxs):
+                            cs[gi], os_[gi], vs[gi] = c[row], o[row], v[row]
+                    else:
+                        cs[u.idxs[0]], os_[u.idxs[0]], vs[u.idxs[0]] = (
+                            c, o, v
+                        )
+                return jnp.concatenate([
+                    jnp.stack(cs).astype(jnp.int32).reshape(-1),
+                    jnp.stack(vs).astype(jnp.int32).reshape(-1),
+                    jnp.stack(os_).reshape(-1),
+                ])
+
+            self._packer = jax.jit(pack)
+        flat = [x for out in unit_outs for x in out]
+        return self._packer(*flat)
+
     def match_file(self, path: str, resume: bool = False,
                    start: int = 0, stop: int | None = None):
         """MatchResult (single pattern) or list[MatchResult] in caller
@@ -372,13 +415,18 @@ class StreamingMatcher:
             if not start_chunk:
                 journal_entries = [0] * k
 
-        def resolve(p: _Pending):
+        cap = self.config.capacity
+
+        def resolve(p: _PendingPacked):
+            arr = np.asarray(p.packed)  # ONE device->host transfer
+            cs, vs = arr[:k], arr[k : 2 * k]
+            off2 = arr[2 * k :].reshape(k, cap)
             for i in range(k):
-                c = int(p.counts[i])
-                offs = np.asarray(p.offsets[i])
+                c = int(cs[i])
+                offs = off2[i]
                 kept = valid_prefix(offs).astype(np.int64) + p.start
                 totals[i] += c
-                overflowed[i] |= bool(p.overflows[i]) or (c > len(kept))
+                overflowed[i] |= bool(vs[i]) or (c > len(kept))
                 if use_journal:
                     self._journal_append(kept, i)
                     journal_entries[i] += len(kept)
@@ -451,9 +499,7 @@ class StreamingMatcher:
                         lambda t: _swar._as_words(t).reshape(-1, 1024)
                     )
                 words_dev = self._repack(text_dev)
-            counts: list = [None] * k
-            offsets: list = [None] * k
-            ovfs: list = [None] * k
+            unit_outs = []
             for u in self._units:
                 # A chunk owns starts in [0, owned_len); per-unit validity
                 # n_eff = owned_len + m_u - 1 makes the runner's own
@@ -469,18 +515,11 @@ class StreamingMatcher:
                      u.pat_dev, u.tables_dev),
                     enabled=aot_on,
                 )
-                if u.multi:
-                    for row, gi in enumerate(u.idxs):
-                        counts[gi], offsets[gi], ovfs[gi] = (
-                            c[row], o[row], v[row]
-                        )
-                else:
-                    counts[u.idxs[0]], offsets[u.idxs[0]], ovfs[u.idxs[0]] = (
-                        c, o, v
-                    )
+                unit_outs.append((c, o, v))
+            packed = self._pack_outputs(unit_outs)
             stats["dispatch_s"] += _time.perf_counter() - t0
             t0 = _time.perf_counter()
-            rq.put(_Pending(ci, cstart, counts, offsets, ovfs))
+            rq.put(_PendingPacked(ci, cstart, packed))
             stats["enqueue_wait_s"] += _time.perf_counter() - t0
         rq.put(None)
         rthread.join()

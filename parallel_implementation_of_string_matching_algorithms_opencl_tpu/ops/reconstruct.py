@@ -177,9 +177,11 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
 # Multi-pattern candidate-block gather tiers (512-byte granularity: the
 # union of k patterns' matches is block-dense long before it is
 # chunk-dense, and the gather + k-pattern verify cost is what scales with
-# the tier — the mid tier exists because config 2's ~267k candidate
-# blocks sat at 51% utilization of a lone 524288 tier).
-MULTI_BLOCK_TIERS = (16384, 327680, 524288)
+# the tier — the 327680 tier exists because config 2's ~267k candidate
+# blocks sat at 51% utilization of a lone 524288 tier; 131072 because the
+# 256 MiB-class profile (~72k blocks, round-4 exp/multi_breakdown.py) sat
+# at 22% of 327680, and gather/verify/decode all scale with tier width).
+MULTI_BLOCK_TIERS = (16384, 131072, 327680, 524288)
 
 
 def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,

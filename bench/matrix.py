@@ -105,6 +105,14 @@ def emit(row):
     # bandwidth (~0.82 TB/s); anything faster is a metrology bug.
     if row.get("bytes_per_s", 0) > 0.9e12 and row.get("n_devices", 1) == 1:
         row["timing_suspect"] = True
+    # Round-4 VERDICT weak #4: a parity-false row must never sit in the
+    # permanent record unexplained — stamp it at write time, and stamp any
+    # earlier same-key rows as superseded so report.py's latest-row-wins
+    # lookup is visible in the artifact itself, not just in code.
+    if row.get("exact_parity") is False and "note" not in row:
+        row["note"] = ("PARITY FAILURE at emit time — investigate before "
+                       "trusting; a later same-key row supersedes this one")
+    key = (row.get("config"), row.get("algo"), row.get("scale"))
     try:
         ctrl = _box_control()
     except Exception as e:  # a broken control must not kill the bench row
@@ -113,8 +121,36 @@ def emit(row):
     if ctrl is not None:
         row["box_control_ms"], row["box_rtt_ms"] = ctrl
     print(json.dumps(row), flush=True)
+    try:
+        _stamp_superseded(key)
+    except Exception as e:  # stamping is hygiene; never lose the new row
+        print(f"supersede stamping failed: {e!r}", file=sys.stderr)
     with open("BENCH_MATRIX.json", "a") as f:
         f.write(json.dumps(row) + "\n")
+
+
+def _stamp_superseded(key):
+    """Mark existing BENCH_MATRIX.json rows matching (config, algo, scale)
+    as superseded (the incoming row is about to become latest)."""
+    if not _os.path.exists("BENCH_MATRIX.json"):
+        return
+    rows = []
+    changed = False
+    with open("BENCH_MATRIX.json") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            if ((r.get("config"), r.get("algo"), r.get("scale")) == key
+                    and not r.get("superseded")):
+                r["superseded"] = True
+                changed = True
+            rows.append(r)
+    if changed:
+        with open("BENCH_MATRIX.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
 
 
 def timed_match(fn, *args, iters=3, **kw):

@@ -109,8 +109,12 @@ def main():
         emit({
             "config": 5,
             # size-tagged: a 10 GB overlap-proxy row must never shadow the
-            # stated-scale 100 GB row in report.py's latest-row lookup
-            "algo": f"{r.algo.split('@')[0]}_stream{int(args.gb)}",
+            # stated-scale 100 GB row in report.py's latest-row lookup;
+            # fractional --gb keeps its digits ('0.5' -> '0p5') so two
+            # sub-GB smoke runs cannot shadow each other either
+            "algo": (f"{r.algo.split('@')[0]}_stream"
+                     + (str(int(args.gb)) if float(args.gb).is_integer()
+                        else str(args.gb).replace(".", "p"))),
             "n_bytes": size,
             # ONE shared stream: wall covers disk read + ship + ALL FOUR
             # algorithms' scans + resolve — it is the run's aggregate, not

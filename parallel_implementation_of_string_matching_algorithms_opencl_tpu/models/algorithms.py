@@ -328,6 +328,13 @@ class KMPMatcher(Matcher):
             # candidate SUPERSET of the full-m match starts, made exact by
             # extract_region's full-pattern window verify.  cut and
             # limit_k use the FULL m so the region split stays correct.
+            # NOTE the kernel is called with m=32, so its IN-KERNEL
+            # validity clamp is n-32, not n-m: candidate starts in
+            # (n-m, n-32] are carried in these bsums and rejected only by
+            # extract_region's limit_k re-clamp.  Exactness therefore
+            # DEPENDS on the downstream clamp — a refactor that trusts
+            # bsums totals directly (or skips extract_region) would
+            # over-count near the text end for m > 32.
             bsums, cut = shift_and.kmp_bsums(
                 text, n, tables_["sa_bt32"], 32,
                 chunk_bytes=config.pallas_chunk_bytes,

@@ -53,8 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "automaton, m<=256)")
     ap.add_argument("--drain", action="store_true",
                     help="guarantee ALL offsets even past --capacity "
-                         "(windowed re-extraction; single-device, "
-                         "--distributed and --multihost modes)")
+                         "(windowed re-extraction; all modes incl. "
+                         "--stream, where overflowing chunks are re-read "
+                         "and re-extracted)")
     ap.add_argument("--multihost", action="store_true",
                     help="run collectively across the JAX process group "
                          "(topology from TPUMATCH_COORDINATOR / "
@@ -92,12 +93,13 @@ def main(argv=None) -> int:
     else:
         patterns = [p.encode("utf-8") for p in args.pattern]
 
-    if args.drain and args.stream:
-        # Refuse rather than silently return a truncated offset list:
-        # streaming resolve journals valid PREFIXES per chunk (counts stay
-        # exact); a full drain there would need per-chunk re-extraction.
-        ap.error("--drain is not supported with --stream; raise "
-                 "--capacity or use --distributed/--multihost instead")
+    overrides = {"capacity": args.capacity}
+    if args.emission:
+        overrides["emission"] = args.emission
+    if args.bm_probes:
+        overrides["bm_probes"] = args.bm_probes
+    if args.kmp_long:
+        overrides["kmp_long"] = args.kmp_long
 
     t0 = time.perf_counter()
     if args.stream and args.multihost:
@@ -105,23 +107,35 @@ def main(argv=None) -> int:
             match_multihost_streaming,
         )
 
+        from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+            DEFAULT_CONFIG,
+        )
+
         out = match_multihost_streaming(
             args.textfile,
             patterns if len(patterns) > 1 else patterns[0],
             algo=args.algo,
+            config=DEFAULT_CONFIG.replace(**overrides),
             chunk_bytes=args.chunk_mb << 20,
             manifest_path=args.manifest,
             resume=args.resume,
+            drain=args.drain,
         )
         results = out if isinstance(out, list) else [out]
     elif args.stream:
+        from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+            DEFAULT_CONFIG,
+        )
+
         out = match_stream(
             args.textfile,
             patterns if len(patterns) > 1 else patterns[0],
             algo=args.algo,
+            config=DEFAULT_CONFIG.replace(**overrides),
             chunk_bytes=args.chunk_mb << 20,
             manifest_path=args.manifest,
             resume=args.resume,
+            drain=args.drain,
         )
         results = out if isinstance(out, list) else [out]
     elif args.multihost:
@@ -134,13 +148,6 @@ def main(argv=None) -> int:
         results = [out]
     else:
         text = load_file(args.textfile)
-        overrides = {"capacity": args.capacity}
-        if args.emission:
-            overrides["emission"] = args.emission
-        if args.bm_probes:
-            overrides["bm_probes"] = args.bm_probes
-        if args.kmp_long:
-            overrides["kmp_long"] = args.kmp_long
         if args.distributed:
             out = match_distributed(
                 text,

@@ -165,6 +165,7 @@ def match_multihost_streaming(
     num_processes: int | None = None,
     process_id: int | None = None,
     gather_offsets: bool = True,
+    drain: bool = False,
 ):
     """Config 5 at its STATED scale: stream a huge shared corpus across
     N>=2 hosts (BASELINE.json:11 — "all four algorithms on a 100GB sharded
@@ -188,7 +189,10 @@ def match_multihost_streaming(
     counts/overflows are still global, offsets are THIS host's journal
     slice only (``res.algo`` gains a ``!local-offsets`` marker) — for
     match-dense corpora where replicating every offset to every host is
-    the wrong call.
+    the wrong call.  ``drain=True`` re-extracts each host's overflowing
+    chunks (``StreamingMatcher.match_file(drain=True)``), so the gathered
+    offsets are complete past per-chunk capacity and the global overflow
+    flag stays False.
 
     Every process must call this collectively; all return identical
     global counts (and offsets when gathered).
@@ -220,7 +224,7 @@ def match_multihost_streaming(
         size, 0, pid, pc, align=sm.chunk_bytes
     )
     local = sm.match_file(path, resume=resume, start=offset,
-                          stop=offset + owned)
+                          stop=offset + owned, drain=drain)
     single = not isinstance(local, list)
     locals_ = [local] if single else local
 

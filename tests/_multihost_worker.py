@@ -44,8 +44,12 @@ def main() -> int:
     mode = sys.argv[8] if len(sys.argv) > 8 else "whole"
     cfg = MatchConfig(capacity=4096, pad_multiple=64)
     patterns = [bytes.fromhex(h) for h in pattern_hex.split(";")]
-    if mode == "stream":
+    if mode in ("stream", "stream_drain"):
         chunk_bytes = int(sys.argv[9]) if len(sys.argv) > 9 else 1 << 20
+        if mode == "stream_drain":
+            # Force per-chunk overflow so the streaming drain's re-read +
+            # re-extraction actually runs on both hosts.
+            cfg = cfg.replace(capacity=16)
         res = multihost.match_multihost_streaming(
             corpus,
             patterns if len(patterns) > 1 else patterns[0],
@@ -56,6 +60,7 @@ def main() -> int:
             coordinator_address=f"localhost:{port}",
             num_processes=nprocs,
             process_id=pid,
+            drain=(mode == "stream_drain"),
         )
     else:
         if mode == "drain":

@@ -220,6 +220,33 @@ def test_two_process_multihost_drain(tmp_path):
         assert not r["overflow"]
 
 
+@pytest.mark.slow
+def test_two_process_streaming_multihost_drain(tmp_path):
+    # Streaming x multihost x DRAIN (round-4 VERDICT missing #1 at host
+    # scale): both hosts hit per-chunk capacity-16 overflow in different
+    # chunks, including a dense run straddling the host seam; with
+    # drain=True the merged global offsets must be complete, sorted and
+    # overflow-free on every host.
+    chunk = 8192
+    size = 6 * chunk + 555
+    rng = np.random.default_rng(47)
+    data = bytearray(rng.integers(97, 101, size=size, dtype=np.uint8).tobytes())
+    host_seam = 3 * chunk
+    data[100:700] = b"a" * 600                        # host-0 chunk 0, dense
+    data[host_seam - 50 : host_seam + 50] = b"a" * 100  # host-seam dense run
+    data[4 * chunk + 9 : 4 * chunk + 209] = b"a" * 200  # host-1 interior
+    text = bytes(data)
+    want = find_all(text, b"aa")
+    assert len(want) > 700
+    results = _run_cluster(tmp_path, text, b"aa", "naive",
+                           extra_args=("stream_drain", chunk))
+    for r in results:
+        assert r["process_count"] == 2
+        assert r["count"] == len(want)
+        assert r["offsets"] == want
+        assert not r["overflow"]
+
+
 def test_allgather_i64_exact_no_truncation():
     # Regression: process_allgather silently downcasts int64->int32 when
     # x64 mode is off, wrapping offsets past 2 GiB negative (caught by the

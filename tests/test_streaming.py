@@ -158,6 +158,111 @@ def test_stream_resume_preserves_overflow(corpus, tmp_path):
     assert bool(r.overflow), "resume dropped the persisted overflow flag"
 
 
+@pytest.fixture(scope="module")
+def dense_corpus(tmp_path_factory):
+    """Corpus engineered so chunk 1 (and the chunk-1/2 seam) massively
+    exceeds a capacity-16 offset buffer for pattern 'aa'."""
+    d = tmp_path_factory.mktemp("dense")
+    data = bytearray(gen_english(CHUNK * 4 + 77, seed=5))
+    # Chunk 1 interior: a 700-byte run of 'a' (699 overlapping matches).
+    data[CHUNK + 100 : CHUNK + 800] = b"a" * 700
+    # A dense run STRADDLING the chunk-1/2 seam: ownership of its matches
+    # splits between the two chunks mid-run.
+    data[2 * CHUNK - 50 : 2 * CHUNK + 50] = b"a" * 100
+    path = d / "dense.bin"
+    path.write_bytes(bytes(data))
+    return str(path), bytes(data)
+
+
+def test_stream_drain_overflow_chunk(dense_corpus):
+    # Round-4 VERDICT missing #1: an overflowed chunk's offsets were
+    # unrecoverable on the streaming path.  With drain=True every oracle
+    # offset must come back, in order, with overflow=False — including the
+    # matches whose ownership splits across the seam inside a dense run.
+    path, data = dense_corpus
+    want = find_all(data, b"aa")
+    assert len(want) > 700  # far past capacity 16
+    cfg = CFG.replace(capacity=16)
+    r = match_stream(path, b"aa", algo="naive", config=cfg,
+                     chunk_bytes=CHUNK, drain=True)
+    assert r.count == len(want)
+    assert [int(x) for x in r.offsets] == want
+    assert not r.overflow
+
+    # Control: without drain the same stream must FLAG the truncation.
+    r0 = match_stream(path, b"aa", algo="naive", config=cfg,
+                      chunk_bytes=CHUNK)
+    assert r0.count == len(want) and r0.overflow
+
+
+@pytest.mark.parametrize("algo", ["rabin_karp", "kmp", "boyer_moore"])
+def test_stream_drain_all_algos(dense_corpus, algo):
+    # The drain path routes through each algorithm's own extract_range
+    # (screened candidate re-verify for BM/RK, prefix screen for KMP).
+    path, data = dense_corpus
+    want = find_all(data, b"aab")
+    cfg = CFG.replace(capacity=4)
+    r = match_stream(path, b"aab", algo=algo, config=cfg,
+                     chunk_bytes=CHUNK, drain=True)
+    assert r.count == len(want)
+    assert [int(x) for x in r.offsets] == want
+    assert not r.overflow
+
+
+def test_stream_drain_multi_pattern_journal(dense_corpus, tmp_path):
+    # Multi-pattern: 'aa' (overflows, shared-hash RK group member) and
+    # 'ab' (fits) stream in ONE pass; the drain must rebuild a
+    # single-pattern matcher for the overflowing group member while the
+    # non-overflowing slot keeps its fast path.  Journaled variant.
+    path, data = dense_corpus
+    pats = [b"aa", b"ab"]
+    cfg = CFG.replace(capacity=16)
+    manifest = str(tmp_path / "drain_multi.json")
+    results = match_stream(path, pats, algo="rabin_karp", config=cfg,
+                           chunk_bytes=CHUNK, manifest_path=manifest,
+                           drain=True)
+    for p, r in zip(pats, results):
+        want = find_all(data, p)
+        assert r.count == len(want), p
+        assert [int(x) for x in r.offsets] == want, p
+        assert not r.overflow, p
+
+
+def test_stream_drain_resume(dense_corpus, tmp_path):
+    # Resume ACROSS a drained chunk: chunk 0 is processed (with chunk 1's
+    # dense region moved to chunk 0 via a truncated iterator), the run is
+    # interrupted, and the resumed run must splice its remaining chunks
+    # after the drained journal without duplicating or losing offsets.
+    path, data = dense_corpus
+    want = find_all(data, b"aa")
+    cfg = CFG.replace(capacity=16)
+    manifest = str(tmp_path / "drain_resume.json")
+
+    class _Interrupted(StreamingMatcher):
+        def _iter_chunks(self, path, start_chunk, range_start=0,
+                         range_stop=None):
+            for item in super()._iter_chunks(path, start_chunk,
+                                             range_start, range_stop):
+                if item[0] >= 2:  # stop before chunk 2: chunk 1 drained
+                    return
+                yield item
+
+    sm = _Interrupted(b"aa", algo="naive", config=cfg, chunk_bytes=CHUNK,
+                      manifest_path=manifest)
+    partial = sm.match_file(path, drain=True)
+    assert partial.count < len(want)  # genuinely interrupted
+    man = json.load(open(manifest))
+    assert man["next_chunk"] == 2
+    assert man["overflow"] is False  # chunk 1 overflow was drained
+
+    r = match_stream(path, b"aa", algo="naive", config=cfg,
+                     chunk_bytes=CHUNK, manifest_path=manifest,
+                     resume=True, drain=True)
+    assert r.count == len(want)
+    assert [int(x) for x in r.offsets] == want
+    assert not r.overflow
+
+
 def test_stream_multi_pattern(corpus, tmp_path):
     # One pass over the file serves several patterns (config 2 shape):
     # equal-length RK patterns share one rolling-hash pass; mixed lengths
@@ -218,6 +323,29 @@ def test_cli_basic(corpus, tmp_path):
     obj = json.loads(out.stdout.strip().splitlines()[-1])
     assert obj["count"] == len(expected)
     assert obj["offsets"][: len(expected)] == expected[:20]
+
+
+def test_cli_stream_drain(dense_corpus):
+    # --drain now composes with --stream (the r4 hard-error is lifted):
+    # capacity-16 chunks overflow, the drain recovers every offset.
+    path, data = dense_corpus
+    want = find_all(data, b"aa")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; import cli;"
+        "sys.exit(cli.main(['naive',%r,'aa','--stream','--chunk-mb','1',"
+        "'--capacity','16','--drain','--json','--offsets','-1']))" % path
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=dict(os.environ),
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    obj = json.loads(out.stdout.strip().splitlines()[-1])
+    assert obj["count"] == len(want)
+    assert obj["offsets"] == want
+    assert not obj["overflow"]
 
 
 def test_cli_stream_and_count_only(corpus, tmp_path):

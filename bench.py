@@ -130,6 +130,30 @@ def _dump_detail(path: str, dev, results, extra=None) -> None:
         f.write("\n")
 
 
+def drift_moved(results, ref_values, threshold=0.25):
+    """[(algo, prior_gbs, head_gbs)] for algorithms whose measured GB/s
+    moved more than ``threshold`` relative to the reference values.  Pure
+    logic, unit-tested in tests/test_aux.py."""
+    moved = []
+    for algo, r in results.items():
+        old = ref_values.get(algo)
+        if not old:
+            continue
+        new = r["bytes_per_s_per_chip"] / 1e9
+        if abs(new - old) / old > threshold:
+            moved.append((algo, old, new))
+    return moved
+
+
+def drift_verdict(head_gbs, ref_same_window_gbs, threshold=0.25):
+    """'environment' when the reference commit reproduces HEAD's number in
+    the same window (the move is box state), 'code' when it does not (the
+    reference commit is genuinely faster/slower than HEAD right now)."""
+    return ("environment"
+            if abs(ref_same_window_gbs - head_gbs) / max(head_gbs, 1e-9)
+            < threshold else "code")
+
+
 def drift_check(results, argv_base, root="."):
     """Round-4 VERDICT weak #6 / next #5: the drift sentinel.
 
@@ -159,14 +183,7 @@ def drift_check(results, argv_base, root="."):
         ref = json.load(open(ref_path))
     except Exception:
         return None
-    moved = []
-    for algo, r in results.items():
-        old = ref.get("values", {}).get(algo)
-        if not old:
-            continue
-        new = r["bytes_per_s_per_chip"] / 1e9
-        if abs(new - old) / old > 0.25:
-            moved.append((algo, old, new))
+    moved = drift_moved(results, ref.get("values", {}))
     if not moved:
         return None
     algos = ",".join(a for a, _, _ in moved)
@@ -200,8 +217,7 @@ def drift_check(results, argv_base, root="."):
             rv /= 1e9
             # Same-window parity between commits => the move is the box;
             # the ref commit reproducing its own old number => code.
-            verdict = ("environment" if abs(rv - new) / max(new, 1e-9) < 0.25
-                       else "code")
+            verdict = drift_verdict(new, rv)
             out["rows"].append({
                 "algo": algo, "prior_canonical_gbs": old,
                 "head_gbs": round(new, 2),

@@ -233,3 +233,31 @@ def test_aot_cache_corrupt_file_recovers(tmp_path, monkeypatch):
         p.write_bytes(b"garbage")
     aot._MEMO.clear()
     assert int(aot.call(f, (x,), enabled=True)) == int(f(x))
+
+
+# -- drift sentinel (bench.py) ---------------------------------------------
+
+
+def test_drift_moved_and_verdict():
+    sys.path.insert(0, REPO)
+    import bench as bench_mod
+
+    res = {
+        "naive": {"bytes_per_s_per_chip": 60e9},
+        "boyer_moore": {"bytes_per_s_per_chip": 110e9},
+        "kmp": {"bytes_per_s_per_chip": 50e9},
+    }
+    ref = {"naive": 120.0, "boyer_moore": 109.9}  # kmp absent from ref
+    moved = bench_mod.drift_moved(res, ref)
+    assert [m[0] for m in moved] == ["naive"]  # BM within 25%, kmp skipped
+    algo, old, new = moved[0]
+    assert old == 120.0 and abs(new - 60.0) < 1e-6
+
+    # Upward moves trigger too (a suspicious speedup is also worth an A/B).
+    res2 = {"naive": {"bytes_per_s_per_chip": 160e9}}
+    assert bench_mod.drift_moved(res2, ref)[0][0] == "naive"
+
+    # Verdict: ref commit reproducing HEAD's number in the same window =>
+    # environment; reproducing its own old number => code.
+    assert bench_mod.drift_verdict(60.0, 61.0) == "environment"
+    assert bench_mod.drift_verdict(60.0, 118.0) == "code"

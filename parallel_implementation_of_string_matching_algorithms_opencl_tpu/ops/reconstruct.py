@@ -111,6 +111,7 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
     """
     Mnp = swar.mask_words(m)
     M = jnp.asarray(Mnp)
+    nw = Mnp.shape[1]
     Lr = bs.shape[0] // 8
     chunkc = jnp.sum(bs.reshape(Lr, 8), axis=1)
     cap_g = min(
@@ -124,11 +125,11 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
     # dense_extract); everything else stays on the cheap path.
     use_dense = ncand > cap_g
 
-    def sparse(_):
-        gids = extract.sorted_nonzero_ids(chunkc, cap_g, fill=Lr)
+    def sparse_w(cg, _=None):
+        gids = extract.sorted_nonzero_ids(chunkc, cg, fill=Lr)
         nib = _verify_chunks(x2d, gids, P, M, Mnp, limit)
         c_sm = jnp.sum(extract._popcount4(nib), dtype=jnp.int32)
-        rows2 = nib.reshape(cap_g * 8, 128)
+        rows2 = nib.reshape(cg * 8, 128)
         rc2 = jnp.sum(extract._popcount4(rows2), axis=1)
         base2 = (
             gids[:, None] * 4096
@@ -142,6 +143,8 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
         # count stays exact and overflow=True routes callers to drain.
         offs = jnp.where(ok, offs, jnp.int32(FILL))
         return c_sm, offs, ok
+
+    sparse = functools.partial(sparse_w, cap_g)
 
     def dense(_):
         # Full naive rescan with nibble emission: exact verify of EVERY
@@ -162,7 +165,26 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
         offs = jnp.where(ok, offs, jnp.int32(FILL))
         return jnp.sum(bs2, dtype=jnp.int32), offs, ok
 
-    if Lr <= cap_g:
+    # Long patterns: the per-chunk verify chain scales with nw (4*nw
+    # masked compares over cap_g*(1024+nw) words — ~4-5 ms at nw=65 /
+    # cap_g=4096), and the fixed-width gather pays it even when ~no
+    # chunk is a candidate (fill rows are verified as garbage and
+    # validity-zeroed).  A small-count tier caps that waste: english
+    # m>=64 screens leave a handful of candidate chunks, so the 512-row
+    # tier runs the same chain at 1/8 the width.  Round-5 fix for the
+    # config-3 m=256 row (9.5 GB/s, VERDICT weak #3): the cost was this
+    # flat verify, not the dist wrapper.  nw < 17 (m <= 61) keeps the
+    # old single-width path — the chain is cheap there and a lax.switch
+    # costs ~0.3 ms + an extra compiled branch.
+    SMALL_G = 512
+    if nw >= 17 and Lr > SMALL_G:
+        branches = [functools.partial(sparse_w, SMALL_G), sparse]
+        sel = (ncand > SMALL_G).astype(jnp.int32)
+        if Lr > cap_g:  # dense reachable only when ncand can exceed cap_g
+            branches.append(dense)
+            sel = sel + (ncand > cap_g).astype(jnp.int32)
+        count, offs, ok = jax.lax.switch(sel, branches, None)
+    elif Lr <= cap_g:
         # Every chunk fits the sparse gather — the dense branch is
         # statically unreachable; skip the cond (it costs ~0.3 ms and
         # compiles a second kernel).

@@ -515,6 +515,38 @@ def test_kmp_long_screen_prefix_flood_dense_escalation():
     assert rs.offsets_list() == expected
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("flood", [False, True])
+def test_kmp_long_extract_tier_switch(flood):
+    # Round-5 count-tiered candidate gather (extract_region SMALL_G): at
+    # nw >= 17 and Lr > 512 chunks the gather width switches on the
+    # runtime candidate count.  Both tiers must be exact: a quiet text
+    # (few candidate chunks -> 512-row tier) and a near-miss flood
+    # (> 512 candidate chunks -> full tier).  Text must exceed 2 MiB for
+    # the switch to exist at all (Lr > SMALL_G).
+    C = 4096
+    cfg4 = CFG.replace(pallas_chunk_bytes=C)
+    m = 64
+    N = 640 * C + 129  # Lr = 640 > SMALL_G = 512
+    data = bytearray(gen_english(N, seed=900 + flood))
+    pat = bytes(gen_english(m, seed=901))
+    for pos in (C * 5 - 1, C * 300 + 17, 513 * C - m // 2, N - m):
+        data[pos : pos + m] = pat
+    if flood:
+        # Prefix-32 near-misses in ~600 distinct chunks: the screen's
+        # candidate count exceeds SMALL_G, full verify rejects them all.
+        near = pat[:32] + bytes(gen_english(m - 32, seed=902))
+        for ci in range(600):
+            pos = ci * C + 100
+            data[pos : pos + m] = near
+    text = bytes(data)
+    expected = find_all(text, pat)
+    assert len(expected) >= 4
+    rs = KMPMatcher(pat, cfg4).match(text)
+    assert rs.count == len(expected)
+    assert rs.offsets_list() == expected
+
+
 @pytest.mark.parametrize("m", [4, 64, 509])
 def test_rk_bsums_screen_parity(m):
     # Candidate-bsums screen + window-compare reconstruction (verify +

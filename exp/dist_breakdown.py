@@ -116,6 +116,7 @@ def main():
         tb = jax.tree.map(jnp.asarray, sm.tables)
         print(f"m={m}: compiling single ...", flush=True)
         row["single_s"] = timed(srunner, td, wd2, jnp.int32(n), pd, tb)
+        print(f"  single_s={row['single_s']:.4f}", flush=True)
 
         # full dist runner (what config-3 times)
         dm = DistributedMatcher(pat, algo="kmp", config=cfg, mesh=mesh)
@@ -124,6 +125,7 @@ def main():
         tbd = jax.tree.map(jnp.asarray, dm.matcher.tables)
         print(f"m={m}: compiling dist ...", flush=True)
         row["dist_s"] = timed(drunner, td_sh, wd_sh, jnp.int32(n), pdd, tbd)
+        print(f"  dist_s={row['dist_s']:.4f}", flush=True)
 
         # core only: shard body without the stats merge
         from jax import shard_map as _shard_map
@@ -152,13 +154,14 @@ def main():
         ))
         print(f"m={m}: compiling core ...", flush=True)
         row["core_s"] = timed(core, td_sh, wd_sh, jnp.int32(n), pdd, tbd)
+        print(f"  core_s={row['core_s']:.4f}", flush=True)
 
         # halo assembly alone (concat cost at shard shape)
         def halo_only(local_text, local_words, nn):
             ext, ext_w = dist_mod._assemble_halo(
                 local_text, local_words, halo, d, DATA_AXIS
             )
-            return (ext[-1].astype(jnp.int32) + ext_w[-1] + nn,)
+            return (ext[-1:].astype(jnp.int32) + ext_w[-1:] + nn,)
 
         hal = jax.jit(_shard_map(
             halo_only, mesh=mesh,
@@ -172,7 +175,7 @@ def main():
 
         def w2d(local_words, nn):
             x = reconstruct.full_words2d(None, local_words)
-            return (x[0, 0] + nn,)
+            return (x[0, 0:1] + nn,)
 
         wj = jax.jit(_shard_map(
             w2d, mesh=mesh, in_specs=(P(DATA_AXIS), P()),

@@ -53,6 +53,26 @@ def sorted_nonzero_ids(flags: jnp.ndarray, cap: int, fill: int):
     return jnp.where(ids == INF, jnp.int32(fill), ids)
 
 
+def sorted_nonzero_pairs(flags: jnp.ndarray, cap: int, fill: int):
+    """(ids, values): like ``sorted_nonzero_ids`` but the flag VALUES ride
+    the same sort as a payload — one sort-pair instead of a sort plus a
+    downstream 1-D gather of ``flags[ids]`` (XLA 1-D gathers cost ~25
+    ns/element on TPU; the payload plane is free).  Fill rows carry
+    value 0."""
+    R = flags.shape[0]
+    keys = jnp.where(
+        flags != 0, jnp.arange(R, dtype=jnp.int32), INF
+    )
+    keys, vals = jax.lax.sort((keys, flags), num_keys=1)
+    keys, vals = keys[: min(cap, R)], vals[: min(cap, R)]
+    if cap > R:
+        keys = jnp.concatenate([keys, jnp.full((cap - R,), INF, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((cap - R,), jnp.int32)])
+    ids = jnp.where(keys == INF, jnp.int32(fill), keys)
+    vals = jnp.where(keys == INF, 0, vals)
+    return ids, vals
+
+
 @functools.lru_cache(maxsize=8)
 def _tri_ones(C: int):
     return np.triu(np.ones((C, C), np.float32))

@@ -52,6 +52,25 @@ def test_sorted_nonzero_ids():
     assert ids2.shape == (32,) and np.all(ids2[np.flatnonzero(flags[:10]).size:] == 10)
 
 
+def test_sorted_nonzero_pairs():
+    rng = np.random.default_rng(7)
+    flags = np.where(rng.random(1000) < 0.05,
+                     rng.integers(1, 1 << 16, size=1000), 0).astype(np.int32)
+    ids, vals = extract.sorted_nonzero_pairs(jnp.asarray(flags), 64,
+                                             fill=1000)
+    ids, vals = np.asarray(ids), np.asarray(vals)
+    want = np.flatnonzero(flags)[:64]
+    assert np.array_equal(ids[: len(want)], want)
+    assert np.array_equal(vals[: len(want)], flags[want])
+    assert np.all(ids[len(want):] == 1000) and np.all(vals[len(want):] == 0)
+    # cap > R pads with (fill, 0)
+    ids2, vals2 = extract.sorted_nonzero_pairs(jnp.asarray(flags[:10]), 32,
+                                               fill=10)
+    nz = np.flatnonzero(flags[:10]).size
+    assert ids2.shape == (32,) and np.all(np.asarray(ids2)[nz:] == 10)
+    assert np.all(np.asarray(vals2)[nz:] == 0)
+
+
 def test_minor_cumsum_matches_numpy():
     rng = np.random.default_rng(1)
     x = rng.integers(0, 5, size=(333, 128)).astype(np.int32)

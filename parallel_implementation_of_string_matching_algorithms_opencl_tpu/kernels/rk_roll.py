@@ -71,7 +71,11 @@ def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
     end->start fold + clamp are shift_and._end_to_start_bsums); candidates
     are exactly verified downstream by the window-compare sparse
     reconstruction (ops/reconstruct.extract_region)."""
-    from .shift_and import _end_to_start_bsums, _stage_subchunks
+    from .shift_and import (
+        _end_to_start_bmask,
+        _end_to_start_bsums,
+        _stage_subchunks,
+    )
 
     if fused:
         x_ref, nxt_ref, out_ref, x3_ref, *scratch = refs
@@ -79,7 +83,7 @@ def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
                          G8=G * 8)
     else:
         x3_ref, out_ref, *scratch = refs
-    nibE_ref = scratch[0] if emit == "bsums" else out_ref
+    nibE_ref = scratch[0] if emit in ("bsums", "bmask") else out_ref
     qo, ro = divmod(m, 4)
     # Word-level roll: the byte recurrence H <- H*B + (new - old*Bm) has a
     # serial int32-multiply chain per BYTE; with d_b = new_b - old_b*Bm
@@ -145,6 +149,8 @@ def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
     jax.lax.fori_loop(0, G, group, jnp.zeros((8, 128), jnp.int32))
     if emit == "bsums":
         _end_to_start_bsums(n_ref, nibE_ref, out_ref, m=m, W8=W8, C=C, Nk=Nk)
+    elif emit == "bmask":
+        _end_to_start_bmask(n_ref, nibE_ref, out_ref, m=m, W8=W8, C=C, Nk=Nk)
 
 
 @functools.lru_cache(maxsize=256)
@@ -158,7 +164,7 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
     DELTA = _delta(m)
     L = Nk // C
     nt = L // 128
-    if emit == "bsums":
+    if emit in ("bsums", "bmask"):
         assert C % 4096 == 0
         nbs = W8 // 128
         out_specs = pl.BlockSpec((8, nbs, 128), lambda i, n, t: (0, 0, i),
@@ -277,12 +283,19 @@ def rk_candidate_nib(text_u8, n, targets, m, base: int, *,
 
 def rk_candidate_bsums(text_u8, n, targets, m, base: int, *,
                        chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                       interpret: bool = False, words=None):
+                       interpret: bool = False, words=None,
+                       emit: str = "bsums"):
     """(candidate block sums int32[Nk/512], cut) — the bsums-only rolling
     screen, or (None, 0) below the kernel threshold.  Counts are HASH-HIT
     counts per 512-byte block (validity-clamped); the consumer must verify
     (ops/reconstruct.extract_region word-compares candidate chunks,
-    which both verifies and recounts exactly)."""
+    which both verifies and recounts exactly).
+
+    ``emit='bmask'``: each block's int32 is a 16-bit SUB-BLOCK OCCUPANCY
+    MASK (bit g = candidate start in 32-byte group g) instead of a count —
+    same shape/HBM cost, still nonzero exactly where candidates exist;
+    feeds the group-granular extraction
+    (reconstruct.extract_region_multi_groups)."""
     prep = _prepare(text_u8, n, targets, m, base, chunk_bytes, words,
                     need_whole_blocks=True)
     if prep is None:
@@ -290,7 +303,7 @@ def rk_candidate_bsums(text_u8, n, targets, m, base: int, *,
     feed, fused, tgt, B_i32, Bm_i32, Nk, cut = prep
     C = chunk_bytes
     call = _build_call(Nk, C, m, B_i32, Bm_i32, int(tgt.shape[0]), interpret,
-                       emit="bsums", vma=_swar.vma_of(feed), fused=fused)
+                       emit=emit, vma=_swar.vma_of(feed), fused=fused)
     args = (feed, feed) if fused else (feed,)
     bs = call(jnp.asarray(n, jnp.int32).reshape(1), tgt, *args)
     bs_flat = bs.transpose(2, 0, 1).reshape(-1)

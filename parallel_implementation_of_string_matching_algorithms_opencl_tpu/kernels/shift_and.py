@@ -154,6 +154,16 @@ def _end_to_start_bsums(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
     ``end_nibble3_to_start_nib``, done in-kernel.  Validity mirrors
     swar._validity_nibble: element [s, g', lane] of grid step i covers
     byte (i*128+lane)*C + s*(C/8) + 4*g'."""
+    sn = _fold_start_nibbles(n_ref, nibE_ref, m=m, W8=W8, C=C, Nk=Nk)
+    pc = (sn & 1) + ((sn >> 1) & 1) + ((sn >> 2) & 1) + ((sn >> 3) & 1)
+    nbs = W8 // 128  # 512-byte blocks per sub-chunk
+    per = jnp.sum(pc.reshape(8, nbs, 128, 128), axis=2)  # (8, nbs, 128)
+    bs_ref[...] = per
+
+
+def _fold_start_nibbles(n_ref, nibE_ref, *, m, W8, C, Nk):
+    """Shared end->start fold + validity clamp: returns the START-position
+    nibble plane (8, W8, 128) (see ``_end_to_start_bsums`` docstring)."""
     q, r = divmod(m - 1, 4)
     E = nibE_ref[:]  # (8, G8, 128); words hold 4 low bits only
     lo = E[:, q : q + W8, :]
@@ -170,11 +180,28 @@ def _end_to_start_bsums(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
     word_pos = (i * 128 + lane) * C + sub * (C // 8) + gw * 4
     nlim = jnp.minimum(n_ref[0], jnp.int32(Nk)) - m
     keep = jnp.clip(nlim - word_pos + 1, 0, 4)
-    sn = sn & ((1 << keep) - 1)
-    pc = (sn & 1) + ((sn >> 1) & 1) + ((sn >> 2) & 1) + ((sn >> 3) & 1)
-    nbs = W8 // 128  # 512-byte blocks per sub-chunk
-    per = jnp.sum(pc.reshape(8, nbs, 128, 128), axis=2)  # (8, nbs, 128)
-    bs_ref[...] = per
+    return sn & ((1 << keep) - 1)
+
+
+def _end_to_start_bmask(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
+    """Like ``_end_to_start_bsums`` but emits, per 512-byte block, a 16-BIT
+    SUB-BLOCK OCCUPANCY MASK (bit g = any candidate start in the block's
+    g-th 32-byte group) instead of the count.  Same output shape and HBM
+    cost; downstream consumers that only test ``bs != 0`` (candidate-id
+    compaction) are unaffected, while the group-granular multi-pattern
+    extraction (ops/reconstruct.extract_region_multi_groups) uses the bits
+    to verify 13 words per candidate block instead of 133."""
+    sn = _fold_start_nibbles(n_ref, nibE_ref, m=m, W8=W8, C=C, Nk=Nk)
+    nz = (sn != 0).astype(jnp.int32)  # (8, W8, 128)
+    # any-per-8-word group (rank-4 reshape + reduce, the same family as
+    # the bsums epilogue's (8, nbs, 128, 128) fold)
+    sumg = jnp.sum(nz.reshape(8, W8 // 8, 8, 128), axis=2)
+    nbs = W8 // 128
+    m4 = (sumg > 0).astype(jnp.int32).reshape(8, nbs, 16, 128)
+    mask = jnp.zeros((8, nbs, 128), jnp.int32)
+    for g in range(16):
+        mask |= m4[:, :, g, :] << g
+    bs_ref[...] = mask
 
 
 def _kernel(n_ref, bt_ref, *refs, G, m, K,

@@ -102,6 +102,7 @@ class RabinKarpMultiMatcher:
         Returns None off-TPU / below the kernel threshold.
         """
         from ..kernels import rk_roll
+        from ..kernels import swar as _swar
         from ..ops import emit as _emit
         from .algorithms import RabinKarpMatcher, _pallas_backend_ok
 
@@ -116,16 +117,25 @@ class RabinKarpMultiMatcher:
 
         sparse = config.emission == "sparse"
         x2d = reconstruct.full_words2d(text, words)
+        # Group-granular extraction (round 5): the kernel emits 16-bit
+        # sub-block occupancy masks and the reconstruction verifies only
+        # each candidate block's occupied 32-byte group — gated on the
+        # compare chain fitting the 16-word group slab (m <= 33).
+        use_groups = (
+            config.multi_gather == "groups"
+            and _swar.mask_words(m).shape[1] <= 9
+        )
         if sparse:
             # ONE bsums-only screen pass over all k hashes; the shared
             # candidate-block reconstruction verifies every pattern against
             # the gathered blocks in word space and extracts the union
             # positions + membership payload with one sort-pair
-            # (ops/reconstruct.extract_region_multi).
+            # (ops/reconstruct.extract_region_multi[_groups]).
             bs, cut = rk_roll.rk_candidate_bsums(
                 text, n, tables_["hashes"], m, base,
                 chunk_bytes=config.pallas_chunk_bytes,
                 interpret=config.interpret, words=x2d,
+                emit=("bmask" if use_groups else "bsums"),
             )
             if bs is None:
                 return None
@@ -153,8 +163,10 @@ class RabinKarpMultiMatcher:
             # in groups of 31 against the same union screen; a candidate
             # belonging to another group simply fails this group's verify.
             GROUP = 31
+            extract_fn = (reconstruct.extract_region_multi_groups
+                          if use_groups else reconstruct.extract_region_multi)
             parts = [
-                reconstruct.extract_region_multi(
+                extract_fn(
                     bs, x2d, text, n, patterns[g : g + GROUP],
                     tables_["swar_ps"][g : g + GROUP], limit_k,
                     config.capacity, config,

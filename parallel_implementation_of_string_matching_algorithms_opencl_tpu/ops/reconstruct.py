@@ -369,3 +369,278 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
             sel = sel + (nblk > tiers[-1]).astype(jnp.int32)
         counts, offs, trunc = jax.lax.switch(sel, branches)
     return counts, offs, (counts > capacity) | trunc
+
+
+def _popcount16(x):
+    """Per-element popcount of the low 16 bits of int32 (SWAR with masks —
+    arithmetic shifts are fine because every shifted-in sign bit lands on
+    a masked-out position)."""
+    x = x & 0xFFFF
+    x = x - ((x >> 1) & 0x5555)
+    x = (x & 0x3333) + ((x >> 2) & 0x3333)
+    x = (x + (x >> 4)) & 0x0F0F
+    return (x + (x >> 8)) & 0x1F
+
+
+def _popcount32(x):
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    x = x + (x >> 8)
+    x = x + (x >> 16)
+    return x & 0x3F
+
+
+def extract_region_multi_groups(bmask, x2d, text_u8, n, patterns, P_all,
+                                limit, capacity: int, config):
+    """Group-granular multi-pattern extraction — round-5 config-2 rework.
+
+    Same contract as ``extract_region_multi`` but consumes the kernel's
+    16-bit SUB-BLOCK OCCUPANCY masks (``rk_candidate_bsums(emit='bmask')``)
+    instead of counts.  The r4 block design verified all 512 positions of
+    every candidate block against all k patterns (~13.4 G VPU ops at 1 GB /
+    k=8 — the measured extraction majority); here each candidate block's
+    single occupied 32-byte group is selected into a (cap_b, 16)-word slab
+    (16 static slices weighted by a one-hot of the mask's bit index — no
+    gather) and only its 32 positions are verified, on fully-lane-utilized
+    1-D vectors: ~16x less verify ALU and a T=2 slot sort half the size.
+    Blocks whose mask has >1 group set, or >T union matches, fall to a
+    bounded side plane that runs the full-block verify (exact, gated on
+    existence).  Counts are exact whenever every candidate block fits the
+    tier, as before.
+
+    Requires nw <= 9 (m <= 33): the selected slab holds 16 words, and a
+    chain anchored at group word 7 reaches word 7 + nw - 1.  Callers gate
+    on that and fall back to the block path otherwise.
+    """
+    from . import emit as _emit
+
+    k, m = patterns.shape
+    assert k <= 31, "extract_region_multi_groups holds <= 31 patterns"
+    Mnp = swar.mask_words(m)
+    M = jnp.asarray(Mnp)
+    nw = Mnp.shape[1]
+    assert nw <= 9, "group slab (16 words) cannot cover the compare chain"
+    nb = bmask.shape[0]
+    xblk = x2d.reshape(-1, 128)
+    R8 = xblk.shape[0]
+    nblk = jnp.sum(bmask != 0, dtype=jnp.int32)
+    tiers = sorted({min(t, nb) for t in MULTI_BLOCK_TIERS})
+    T = 2
+    OC2 = 2048
+
+    def tier(cap_b: int):
+        bids, sb = extract.sorted_nonzero_pairs(bmask, cap_b, fill=nb)
+        bc = jnp.clip(bids, 0, R8 - 1)
+        # 16 halo words (vs the block path's nw): the group slab spans
+        # [8*gsel, 8*gsel + 16) and gsel=15 reaches word 135.
+        win = jnp.concatenate(
+            [xblk[bc], xblk[jnp.clip(bc + 1, 0, R8 - 1)][:, :16]], axis=1
+        )
+        pc16 = _popcount16(sb)
+        fs16 = sb & (-sb) & 0xFFFF
+        gsel = _popcount16(fs16 - 1)  # 16 when sb == 0 (fill rows)
+        single = pc16 == 1
+        gw16 = jnp.zeros((cap_b, 16), jnp.int32)
+        for g in range(16):
+            oh = (gsel == g).astype(jnp.int32)
+            gw16 = gw16 + oh[:, None] * win[:, 8 * g : 8 * g + 16]
+        # MISCOMPILATION GUARD (jax 0.9.0 / libtpu 0.0.34, TPU v5e): when
+        # XLA fuses this one-hot weighted-sum build with the downstream
+        # column extracts + compare chain, the fused kernel returns wrong
+        # compare results (bit 16 of a verified row read back 0; eager,
+        # CPU-jit, and the barriered form all agree on 1 — reduced repro
+        # in tests/test_algorithms.py::test_multi_groups_vs_blocks_parity
+        # family).  The barrier forces gw16 to materialize, which is also
+        # performance-neutral here (21 MB at the largest tier).
+        gw16 = jax.lax.optimization_barrier(gw16)
+        gw = [gw16[:, t] for t in range(16)]
+        pos_base = bids * 512 + jnp.minimum(gsel, 15) * 32
+        # 32-bit validity mask of the group's bytes: bit b valid iff
+        # pos_base + b <= limit AND the row is a live single-group row.
+        lim32 = limit - pos_base
+        vm = jnp.where(
+            lim32 >= 31,
+            jnp.int32(-1),
+            jnp.where(
+                lim32 < 0,
+                0,
+                (jnp.left_shift(1, jnp.clip(lim32, 0, 30) + 1) - 1),
+            ),
+        )
+        vm = jnp.where(single & (bids < nb), vm, 0)
+        patm = []
+        for p in range(k):
+            acc_p = jnp.zeros((cap_b,), jnp.int32)
+            for t in range(8):
+                for a in range(4):
+                    accv = None
+                    for kk in range(nw):
+                        if Mnp[a, kk] == 0:
+                            continue
+                        w = gw[t + kk]
+                        eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 \
+                            else ((w & M[a, kk]) == P_all[p, a, kk])
+                        accv = eq if accv is None else (accv & eq)
+                    # int32-wrapped bit literal (1 << 31 overflows a
+                    # python-int-to-int32 argument)
+                    bitval = int(np.uint32(1 << (4 * t + a)).view(np.int32))
+                    acc_p |= jnp.where(accv, bitval, 0)
+            patm.append(acc_p & vm)
+        union32 = patm[0]
+        for p in range(1, k):
+            union32 = union32 | patm[p]
+        rc = _popcount32(union32)
+        side_row = ((pc16 > 1) | (single & (rc > T))) & (bids < nb)
+        main_row = single & (rc <= T) & (bids < nb)
+        u = jnp.where(main_row, union32, 0)
+        patm_m = [jnp.where(main_row, pm, 0) for pm in patm]
+        # T=2 slots off the first two set bits.
+        keys_main, vals_main = [], []
+        for _slot in range(T):
+            fs = u & (-u)
+            b = _popcount32(fs - 1)
+            bcl = jnp.clip(b, 0, 31)
+            keys_main.append(
+                jnp.where(u != 0, pos_base + bcl, jnp.int32(extract.INF))
+            )
+            v = jnp.zeros((cap_b,), jnp.int32)
+            for p in range(k):
+                v |= ((patm_m[p] >> bcl) & 1) << p
+            vals_main.append(jnp.where(u != 0, v, 0))
+            u = u & (~fs)
+        keys_main = jnp.concatenate(keys_main)
+        vals_main = jnp.concatenate(vals_main)
+        main_counts = jnp.stack([
+            jnp.sum(_popcount32(pm), dtype=jnp.int32) for pm in patm_m
+        ])
+        main_union = jnp.sum(jnp.where(main_row, rc, 0), dtype=jnp.int32)
+        n_side = jnp.sum(side_row, dtype=jnp.int32)
+        ok = n_side <= OC2
+
+        def _pad_sort(fk, fv):
+            if fk.shape[0] < capacity:
+                padn = capacity - fk.shape[0]
+                fk = jnp.concatenate(
+                    [fk, jnp.full((padn,), extract.INF, jnp.int32)])
+                fv = jnp.concatenate([fv, jnp.zeros((padn,), jnp.int32)])
+            sk, sv = jax.lax.sort((fk, fv), num_keys=1)
+            return sk[:capacity], sv[:capacity]
+
+        def _with_side():
+            # Full-block verify of the (bounded) side rows — the same
+            # per-word pay-plane build as the block path, on OC2 rows.
+            oids = extract.sorted_nonzero_ids(
+                side_row.astype(jnp.int32), OC2, cap_b
+            )
+            oc = jnp.clip(oids, 0, cap_b - 1)
+            ovalid = (oids < cap_b)[:, None]
+            owin = jnp.where(ovalid, win[oc], 0)
+            oblk = jnp.where(oids < cap_b, bids[oc], nb)
+            word_pos = oblk[:, None] * 512 + 4 * jnp.arange(
+                128, dtype=jnp.int32)[None, :]
+            pay = []
+            for a in range(4):
+                plane = jnp.zeros((OC2, 128), jnp.int32)
+                for p in range(k):
+                    accv = None
+                    for kk in range(nw):
+                        if Mnp[a, kk] == 0:
+                            continue
+                        w = owin[:, kk : kk + 128]
+                        eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 \
+                            else ((w & M[a, kk]) == P_all[p, a, kk])
+                        accv = eq if accv is None else (accv & eq)
+                    plane |= accv.astype(jnp.int32) << p
+                pay.append(jnp.where(word_pos + a <= limit, plane, 0))
+            union_nib = jnp.zeros((OC2, 128), jnp.int32)
+            for a in range(4):
+                union_nib |= (pay[a] != 0).astype(jnp.int32) << a
+            okeys, ovals = extract.nib_rows_keys_payload(
+                union_nib, oblk * 512, pay
+            )
+            s_counts = jnp.stack([
+                sum(jnp.sum((pay[a] >> p) & 1, dtype=jnp.int32)
+                    for a in range(4))
+                for p in range(k)
+            ])
+            s_union = jnp.sum(
+                extract._popcount4(union_nib), dtype=jnp.int32
+            )
+            up, uv = _pad_sort(
+                jnp.concatenate([keys_main, okeys.reshape(-1)]),
+                jnp.concatenate([vals_main, ovals.reshape(-1)]),
+            )
+            return up, uv, s_counts, s_union
+
+        def _no_side():
+            up, uv = _pad_sort(keys_main, vals_main)
+            return up, uv, jnp.zeros((k,), jnp.int32), jnp.int32(0)
+
+        upos, uval, side_counts, side_union = jax.lax.cond(
+            n_side == 0, _no_side, _with_side
+        )
+
+        def _counts_fast():
+            return main_counts + side_counts, main_union + side_union
+
+        def _counts_full():
+            # Side plane overflowed (adversarial: > OC2 blocks that are
+            # multi-group or match-dense): offsets report truncated, but
+            # counts MUST stay exact — recount EVERY gathered row at full
+            # block width (the r4 block-path verify, paid only here).
+            word_pos = (jnp.where(bids < nb, bids, nb)[:, None] * 512
+                        + 4 * jnp.arange(128, dtype=jnp.int32)[None, :])
+            cs, un = [], jnp.zeros((cap_b, 128), jnp.int32)
+            planes = []
+            for a in range(4):
+                plane = jnp.zeros((cap_b, 128), jnp.int32)
+                for p in range(k):
+                    accv = None
+                    for kk in range(nw):
+                        if Mnp[a, kk] == 0:
+                            continue
+                        w = win[:, kk : kk + 128]
+                        eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 \
+                            else ((w & M[a, kk]) == P_all[p, a, kk])
+                        accv = eq if accv is None else (accv & eq)
+                    plane |= accv.astype(jnp.int32) << p
+                planes.append(jnp.where(word_pos + a <= limit, plane, 0))
+            for p in range(k):
+                cs.append(sum(jnp.sum((planes[a] >> p) & 1,
+                                      dtype=jnp.int32) for a in range(4)))
+            for a in range(4):
+                un |= (planes[a] != 0).astype(jnp.int32) << a
+            return (jnp.stack(cs),
+                    jnp.sum(extract._popcount4(un), dtype=jnp.int32))
+
+        counts, union_count = jax.lax.cond(ok, _counts_fast, _counts_full)
+        offs = []
+        for p in range(k):
+            keyp = jnp.where(
+                ((uval >> p) & 1) == 1, upos, jnp.int32(extract.INF)
+            )
+            sp = jax.lax.sort(keyp)
+            spo = jnp.where(sp == extract.INF, jnp.int32(FILL), sp)
+            offs.append(jnp.where(ok, spo, jnp.int32(FILL)))
+        trunc = (union_count > capacity) | ~ok | (nblk > cap_b)
+        return counts, jnp.stack(offs), jnp.broadcast_to(trunc, (k,))
+
+    def giveup():
+        counts = jnp.stack([
+            _emit._dense_block_count(text_u8, patterns[p], nb, limit)
+            for p in range(k)
+        ])
+        offs = jnp.full((k, capacity), FILL, jnp.int32)
+        return counts, offs, jnp.ones((k,), bool)
+
+    if len(tiers) == 1:
+        counts, offs, trunc = tier(tiers[0])
+    else:
+        branches = [lambda c=c: tier(c) for c in tiers]
+        sel = sum((nblk > t).astype(jnp.int32) for t in tiers[:-1])
+        if nb > tiers[-1]:
+            branches.append(giveup)
+            sel = sel + (nblk > tiers[-1]).astype(jnp.int32)
+        counts, offs, trunc = jax.lax.switch(sel, branches)
+    return counts, offs, (counts > capacity) | trunc

@@ -132,17 +132,25 @@ class DistributedMatcher:
             D = mesh.shape[DATA_AXIS]
             idx = jax.lax.axis_index(DATA_AXIS)
             shard_start = idx * shard_len
-            if halo > 0:
+            if halo > 0 and D > 1:
                 ext, ext_w = _assemble_halo(
                     local_text, local_words, halo, D, DATA_AXIS
                 )
             else:
+                # D == 1: no neighbor to pull halo from, and every valid
+                # start fits the padded buffer (n <= shard_len), so the
+                # concat — a 2x full-buffer HBM round trip, measured
+                # ~1-1.6 ms of the 1-device wrapper gap at 100 MB
+                # (exp/DIST_BREAKDOWN.json) — is pure waste.  local_words
+                # may arrive PRE-SHAPED (R, 1024) here (see _match_raw),
+                # which also kills the in-jit word relayout.
                 ext = local_text
                 ext_w = local_words
             # Effective local n: global validity (p + shard_start <= n - m)
             # intersected with ownership (p < shard_len); expressing it as a
             # local text length lets the kernel _direct path apply it.
-            n_local = jnp.clip(n - shard_start, 0, shard_len + halo)
+            eff_halo = halo if D > 1 else 0
+            n_local = jnp.clip(n - shard_start, 0, shard_len + eff_halo)
             direct = matcher_cls._direct(
                 ext, ext_w, n_local, pattern, tables, config
             )
@@ -245,9 +253,14 @@ class DistributedMatcher:
         shard_len = len(padded) // self.n_shards
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         text_dev = jax.device_put(jnp.asarray(padded), sharding)
-        words_dev = jax.device_put(
-            jnp.asarray(padded.view(np.int32)), sharding
-        )
+        # D == 1 ships the PRE-SHAPED (R, 1024) word view (zero-copy host
+        # view; kernels consume it directly — no in-jit relayout).  D > 1
+        # keeps the 1-D view: the halo concat needs word-granular seams.
+        if self.n_shards == 1 and len(padded) % 4096 == 0:
+            words_np = padded.view(np.int32).reshape(-1, 1024)
+        else:
+            words_np = padded.view(np.int32)
+        words_dev = jax.device_put(jnp.asarray(words_np), sharding)
         runner = self._build(self.mesh, type(self.matcher), self.config, self.m)
         out = runner(
             text_dev,
@@ -363,13 +376,16 @@ class DistributedMultiMatcher:
             D = mesh.shape[DATA_AXIS]
             idx = jax.lax.axis_index(DATA_AXIS)
             shard_start = idx * shard_len
-            if halo > 0:
+            if halo > 0 and D > 1:
                 ext, ext_w = _assemble_halo(
                     local_text, local_words, halo, D, DATA_AXIS
                 )
             else:
+                # D == 1: skip the concat, accept pre-shaped words (see
+                # DistributedMatcher._build).
                 ext, ext_w = local_text, local_words
-            n_local = jnp.clip(n - shard_start, 0, shard_len + halo)
+            eff_halo = halo if D > 1 else 0
+            n_local = jnp.clip(n - shard_start, 0, shard_len + eff_halo)
             direct = RabinKarpMultiMatcher._multi_direct(
                 ext, ext_w, n_local, patterns, tables, config
             )
@@ -466,9 +482,11 @@ class DistributedMultiMatcher:
         shard_len = len(padded) // self.n_shards
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         text_dev = jax.device_put(jnp.asarray(padded), sharding)
-        words_dev = jax.device_put(
-            jnp.asarray(padded.view(np.int32)), sharding
-        )
+        if self.n_shards == 1 and len(padded) % 4096 == 0:
+            words_np = padded.view(np.int32).reshape(-1, 1024)
+        else:
+            words_np = padded.view(np.int32)
+        words_dev = jax.device_put(jnp.asarray(words_np), sharding)
         runner = self._build(self.mesh, self.config, self.m, self.k)
         out = runner(
             text_dev,

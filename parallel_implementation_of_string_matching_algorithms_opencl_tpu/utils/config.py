@@ -93,6 +93,15 @@ class MatchConfig:
     # when results ~always fill capacity, or when the extra dispatch
     # round-trip dominates, e.g. tiny texts).
     dist_gather: str = "count_sized"
+    # Multi-pattern candidate extraction granularity: 'groups' (default
+    # for m <= 33) has the RK union screen emit 16-bit sub-block (32-byte
+    # group) occupancy masks per 512-byte block (same kernel HBM cost) and
+    # verifies ONLY each candidate block's occupied group — ~16x less
+    # verify ALU and a half-size union sort vs 'blocks', which verifies
+    # all 512 positions of every candidate block against all k patterns
+    # (the round-4 design; automatic fallback when m > 33, whose compare
+    # chain outruns the 16-word group slab).
+    multi_gather: str = "groups"
 
     def __post_init__(self):
         # The matchers view the padded text as int32 words; a pad target

@@ -259,3 +259,40 @@ def test_dist_multi_drain_recovers_all_offsets():
         assert r.count == len(want)
         assert not r.overflow
         assert r.offsets_list() == want
+
+
+@pytest.mark.parametrize("algo", ["kmp", "rabin_karp"])
+def test_dist_single_device_mesh_parity(algo):
+    # D == 1 mesh (round 5): the halo concat and the in-jit word relayout
+    # are skipped (no neighbors; pre-shaped words) — exactness must hold
+    # on the exact same path the config-3 bench rows time.
+    mesh = make_data_mesh(1)
+    rng = np.random.default_rng(51)
+    data = bytearray(rng.integers(97, 123, size=20000, dtype=np.uint8).tobytes())
+    pat = b"XYZZYX"
+    for p in (0, 7777, 20000 - len(pat)):
+        data[p : p + len(pat)] = pat
+    text = bytes(data)
+    want = find_all(text, pat)
+    res = match_distributed(text, pat, algo=algo, config=CFG, mesh=mesh)
+    assert res.count == len(want)
+    assert res.offsets_list() == want
+
+
+def test_dist_multi_single_device_mesh_parity():
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.dist import (
+        DistributedMultiMatcher,
+    )
+
+    mesh = make_data_mesh(1)
+    rng = np.random.default_rng(52)
+    data = bytearray(rng.integers(97, 123, size=20000, dtype=np.uint8).tobytes())
+    pats = [b"XYZZYX", b"QQWWEE"]
+    for p in (100, 9999, 20000 - 6):
+        data[p : p + 6] = pats[0]
+    data[5000:5006] = pats[1]
+    text = bytes(data)
+    dm = DistributedMultiMatcher(pats, config=CFG, mesh=mesh)
+    for p, r in zip(pats, dm.match(text)):
+        want = find_all(text, p)
+        assert r.count == len(want) and r.offsets_list() == want, p

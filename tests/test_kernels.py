@@ -547,6 +547,50 @@ def test_kmp_long_extract_tier_switch(flood):
     assert rs.offsets_list() == expected
 
 
+@pytest.mark.parametrize("mg", ["blocks", "groups"])
+def test_rk_multi_gather_modes_parity(mg):
+    # Round-5 group-granular multi extraction vs the block path vs the
+    # oracle, on a corpus engineered to hit every structural case: two
+    # matches in one 32-byte group (T=2 main slots), two groups of the
+    # same block (multi-group -> side plane), three matches in one group
+    # (rc > T -> side), block- and group-boundary straddles, a match at
+    # the kernel-region edge, and overlapping matches.  Also the reduced
+    # repro of the XLA:TPU fusion miscompile the optimization_barrier in
+    # extract_region_multi_groups guards against (jax 0.9.0/libtpu
+    # 0.0.34: the fused one-hot group select + compare chain read back a
+    # wrong compare bit; CPU-jit and eager were correct).
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.multi import (
+        RabinKarpMultiMatcher,
+    )
+
+    C = 4096
+    N = 128 * C + 999
+    data = bytearray(gen_english(N, seed=88))
+    pats = [b"QXZRVKWJ", b"ZZQQWWEE", b"abcdabcd", b"the quic"]
+    plants = [
+        (100, pats[0]), (132, pats[0]),
+        (512 * 10 + 3, pats[1]), (512 * 10 + 11, pats[1]),
+        (512 * 20 + 1, pats[2]), (512 * 20 + 9, pats[2]),
+        (512 * 20 + 17, pats[2]),
+        (512 * 30 - 4, pats[3]),
+        (512 * 40 + 28, pats[0]),
+        (N - 999 - 16, pats[1]),
+        (512 * 50 + 64, b"abcdabcdabcd"),
+    ]
+    for pos, p in plants:
+        data[pos : pos + len(p)] = p
+    text = bytes(data)
+    cfg = CFG.replace(capacity=4096, verify_capacity=4096,
+                      multi_gather=mg, pallas_chunk_bytes=C,
+                      pad_multiple=4096)
+    rs = RabinKarpMultiMatcher(pats, cfg).match(text)
+    for p, r in zip(pats, rs):
+        want = find_all(text, p)
+        assert r.count == len(want), (mg, p, r.count, len(want))
+        assert r.offsets_list() == want, (mg, p)
+        assert not r.overflow
+
+
 @pytest.mark.parametrize("m", [4, 64, 509])
 def test_rk_bsums_screen_parity(m):
     # Candidate-bsums screen + window-compare reconstruction (verify +

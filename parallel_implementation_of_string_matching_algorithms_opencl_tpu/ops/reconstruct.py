@@ -447,14 +447,18 @@ def extract_region_multi_groups(bmask, x2d, text_u8, n, patterns, P_all,
             gw16 = gw16 + oh[:, None] * win[:, 8 * g : 8 * g + 16]
         # MISCOMPILATION GUARD (jax 0.9.0 / libtpu 0.0.34, TPU v5e): when
         # XLA fuses this one-hot weighted-sum build with the downstream
-        # column extracts + compare chain, the fused kernel returns wrong
-        # compare results (bit 16 of a verified row read back 0; eager,
-        # CPU-jit, and the barriered form all agree on 1 — reduced repro
-        # in tests/test_algorithms.py::test_multi_groups_vs_blocks_parity
-        # family).  The barrier forces gw16 to materialize, which is also
-        # performance-neutral here (21 MB at the largest tier).
+        # compare chain, the fused kernel returns wrong compare results
+        # (bit 16 of a verified row read back 0; eager, CPU-jit, and the
+        # barriered form all agree on 1 — regression covered by
+        # tests/test_kernels.py::test_rk_multi_gather_modes_parity).  The
+        # barrier forces gw16 to materialize — performance-neutral (21 MB
+        # at the largest tier).
         gw16 = jax.lax.optimization_barrier(gw16)
-        gw = [gw16[:, t] for t in range(16)]
+        # Transposed (16, cap_b) slab: the compare chains below run on
+        # 8-row slices whose LANES are the cap_b blocks (fully utilized
+        # vectors, ~160 large fused ops — a per-(t, a) scalar-column form
+        # measured launch-overhead-bound: 1280 tiny ops).
+        gwT = gw16.T
         pos_base = bids * 512 + jnp.minimum(gsel, 15) * 32
         # 32-bit validity mask of the group's bytes: bit b valid iff
         # pos_base + b <= limit AND the row is a live single-group row.
@@ -471,22 +475,28 @@ def extract_region_multi_groups(bmask, x2d, text_u8, n, patterns, P_all,
         vm = jnp.where(single & (bids < nb), vm, 0)
         patm = []
         for p in range(k):
-            acc_p = jnp.zeros((cap_b,), jnp.int32)
-            for t in range(8):
-                for a in range(4):
-                    accv = None
-                    for kk in range(nw):
-                        if Mnp[a, kk] == 0:
-                            continue
-                        w = gw[t + kk]
-                        eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 \
-                            else ((w & M[a, kk]) == P_all[p, a, kk])
-                        accv = eq if accv is None else (accv & eq)
-                    # int32-wrapped bit literal (1 << 31 overflows a
-                    # python-int-to-int32 argument)
-                    bitval = int(np.uint32(1 << (4 * t + a)).view(np.int32))
-                    acc_p |= jnp.where(accv, bitval, 0)
-            patm.append(acc_p & vm)
+            bits_p = jnp.zeros((cap_b,), jnp.int32)
+            for a in range(4):
+                accv = None
+                for kk in range(nw):
+                    if Mnp[a, kk] == 0:
+                        continue
+                    w = gwT[kk : kk + 8]  # row t = group word t, all rows
+                    eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 \
+                        else ((w & M[a, kk]) == P_all[p, a, kk])
+                    accv = eq if accv is None else (accv & eq)
+                # Pack rows t=0..7 as bits 4t+a: products have disjoint
+                # bits, so the int32 sum IS the bitwise OR (incl. the
+                # wrapped bit 31).
+                wa = jnp.asarray(
+                    (np.uint32(1) << (4 * np.arange(8, dtype=np.uint32)
+                                      + np.uint32(a))).view(np.int32)
+                )
+                bits_p = bits_p + jnp.sum(
+                    accv.astype(jnp.int32) * wa[:, None], axis=0,
+                    dtype=jnp.int32,
+                )
+            patm.append(bits_p & vm)
         union32 = patm[0]
         for p in range(1, k):
             union32 = union32 | patm[p]

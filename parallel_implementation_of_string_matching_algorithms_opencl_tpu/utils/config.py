@@ -93,15 +93,19 @@ class MatchConfig:
     # when results ~always fill capacity, or when the extra dispatch
     # round-trip dominates, e.g. tiny texts).
     dist_gather: str = "count_sized"
-    # Multi-pattern candidate extraction granularity: 'groups' (default
-    # for m <= 33) has the RK union screen emit 16-bit sub-block (32-byte
-    # group) occupancy masks per 512-byte block (same kernel HBM cost) and
-    # verifies ONLY each candidate block's occupied group — ~16x less
-    # verify ALU and a half-size union sort vs 'blocks', which verifies
-    # all 512 positions of every candidate block against all k patterns
-    # (the round-4 design; automatic fallback when m > 33, whose compare
-    # chain outruns the 16-word group slab).
-    multi_gather: str = "groups"
+    # Multi-pattern candidate extraction granularity.  'blocks' (default)
+    # verifies all 512 positions of every candidate block against all k
+    # patterns.  'groups' (experimental, m <= 33) has the RK union screen
+    # emit 16-bit sub-block occupancy masks and verifies only each
+    # block's occupied 32-byte group (~16x less verify ALU) — but rows
+    # whose mask holds >1 group fall to a bounded side plane, and on
+    # real multi-pattern workloads such blocks are COMMON (r5 measured:
+    # config-2 shapes at 256 MiB put ~5k blocks on a 2048-row side plane,
+    # blanking offsets to the drain path; and even when the side fits,
+    # the mode measured 23.4 vs 21.7 ms e2e).  Kept as a measured
+    # negative: the block design's uniform within-block handling is why
+    # it wins on match-dense multi-pattern inputs.
+    multi_gather: str = "blocks"
 
     def __post_init__(self):
         # The matchers view the padded text as int32 words; a pad target

@@ -213,6 +213,18 @@ def drift_check(results, argv_base, root="."):
         for algo, old, new in moved:
             rv = refres.get(algo, {}).get("bytes_per_s_per_chip")
             if rv is None:
+                # The reference run produced no number for the very algo
+                # under investigation — record it loudly instead of
+                # emitting an empty-looking A/B (the unflagged-drift
+                # ambiguity this sentinel exists to close).
+                out["rows"].append({
+                    "algo": algo, "prior_canonical_gbs": old,
+                    "head_gbs": round(new, 2),
+                    "ref_commit_same_window_gbs": None,
+                    "verdict": "ref_run_missing_algo",
+                })
+                print(f"  drift A/B {algo}: reference run returned no "
+                      "result for this algorithm", file=sys.stderr)
                 continue
             rv /= 1e9
             # Same-window parity between commits => the move is the box;

@@ -131,7 +131,11 @@ def emit(row):
 
 def _stamp_superseded(key):
     """Mark existing BENCH_MATRIX.json rows matching (config, algo, scale)
-    as superseded (the incoming row is about to become latest)."""
+    as superseded (the incoming row is about to become latest).  The
+    rewrite goes through a temp file + os.replace: this log is the
+    permanent benchmark record, and an in-place truncate+rewrite would
+    turn any mid-write crash (timeout/OOM/tunnel drop) into total loss of
+    the history the append-only design protected."""
     if not _os.path.exists("BENCH_MATRIX.json"):
         return
     rows = []
@@ -148,9 +152,11 @@ def _stamp_superseded(key):
                 changed = True
             rows.append(r)
     if changed:
-        with open("BENCH_MATRIX.json", "w") as f:
+        tmp = "BENCH_MATRIX.json.tmp"
+        with open(tmp, "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
+        _os.replace(tmp, "BENCH_MATRIX.json")
 
 
 def timed_match(fn, *args, iters=3, **kw):

@@ -196,6 +196,46 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
     return count, offs, (count > capacity) | ~ok
 
 
+def _pay_planes(win, word_pos, P_all, M, Mnp, limit):
+    """[4] int32[R, 128] membership planes over gathered block rows: bit p
+    of plane ``a`` word ``w`` = exact match of pattern p starting at byte
+    ``word_pos[r, w] + a``, validity-clamped to ``limit``.  ``win``:
+    int32[R, 128 + nw(+)] lane-shifted-readable rows.  THE shared
+    k-pattern word-compare chain — one implementation for the block tier,
+    the groups side plane, and the groups exact-count fallback (a fix or
+    guard here cannot drift per call site; the round-5 XLA miscompile
+    guard taught that lesson)."""
+    k = P_all.shape[0]
+    nw = Mnp.shape[1]
+    pay = []
+    for a in range(4):
+        plane = jnp.zeros((win.shape[0], 128), jnp.int32)
+        for p in range(k):
+            accv = None
+            for kk in range(nw):
+                if Mnp[a, kk] == 0:
+                    continue
+                w = win[:, kk : kk + 128]
+                eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 else (
+                    (w & M[a, kk]) == P_all[p, a, kk]
+                )
+                accv = eq if accv is None else (accv & eq)
+            plane |= accv.astype(jnp.int32) << p
+        pay.append(jnp.where(word_pos + a <= limit, plane, 0))
+    return pay
+
+
+def _pad_sort_pair(fk, fv, capacity: int):
+    """Sorted (keys, vals) truncated/INF-padded to ``capacity``."""
+    if fk.shape[0] < capacity:
+        padn = capacity - fk.shape[0]
+        fk = jnp.concatenate(
+            [fk, jnp.full((padn,), extract.INF, jnp.int32)])
+        fv = jnp.concatenate([fv, jnp.zeros((padn,), jnp.int32)])
+    sk, sv = jax.lax.sort((fk, fv), num_keys=1)
+    return sk[:capacity], sv[:capacity]
+
+
 # Multi-pattern candidate-block gather tiers (512-byte granularity: the
 # union of k patterns' matches is block-dense long before it is
 # chunk-dense, and the gather + k-pattern verify cost is what scales with
@@ -248,22 +288,7 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
         )
         word_pos = bids[:, None] * 512 + 4 * jnp.arange(
             128, dtype=jnp.int32)[None, :]
-        pay = []
-        for a in range(4):
-            plane = jnp.zeros((cap_b, 128), jnp.int32)
-            for p in range(k):
-                acc = None
-                for kk in range(nw):
-                    if Mnp[a, kk] == 0:
-                        continue
-                    w = win[:, kk : kk + 128]
-                    eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 else (
-                        (w & M[a, kk]) == P_all[p, a, kk]
-                    )
-                    acc = eq if acc is None else (acc & eq)
-                plane |= acc.astype(jnp.int32) << p
-            # validity: bit a of word w is a start at word_pos + a
-            pay.append(jnp.where(word_pos + a <= limit, plane, 0))
+        pay = _pay_planes(win, word_pos, P_all, M, Mnp, limit)
         union_nib = jnp.zeros((cap_b, 128), jnp.int32)
         for a in range(4):
             union_nib |= (pay[a] != 0).astype(jnp.int32) << a
@@ -280,15 +305,6 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
         OC = 2048
         ok = n_rel <= OC
 
-        def _pad_sort(fk, fv):
-            if fk.shape[0] < capacity:
-                padn = capacity - fk.shape[0]
-                fk = jnp.concatenate(
-                    [fk, jnp.full((padn,), extract.INF, jnp.int32)])
-                fv = jnp.concatenate([fv, jnp.zeros((padn,), jnp.int32)])
-            sk, sv = jax.lax.sort((fk, fv), num_keys=1)
-            return sk[:capacity], sv[:capacity]
-
         def _with_side():
             oids = extract.sorted_nonzero_ids(
                 relevant.astype(jnp.int32), OC, cap_b
@@ -299,16 +315,18 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
             opay = [jnp.where(ovalid, pay[a][oc], 0) for a in range(4)]
             obase = jnp.where(oids < cap_b, pos_base[oc], 0)
             okeys, ovals = extract.nib_rows_keys_payload(orows, obase, opay)
-            return _pad_sort(
+            return _pad_sort_pair(
                 jnp.concatenate([keys.reshape(-1), okeys.reshape(-1)]),
                 jnp.concatenate([vals.reshape(-1), ovals.reshape(-1)]),
+                capacity,
             )
 
         def _no_side():
             # No row spilled past its T slots: the side keys would be
             # all-INF, so the OC-row gather + OC*512 extra sort input
             # (~45% of the union sort-pair at OC=2048) is skipped.
-            return _pad_sort(keys.reshape(-1), vals.reshape(-1))
+            return _pad_sort_pair(keys.reshape(-1), vals.reshape(-1),
+                                  capacity)
 
         upos, uval = jax.lax.cond(n_rel == 0, _no_side, _with_side)
         offs = []
@@ -528,18 +546,9 @@ def extract_region_multi_groups(bmask, x2d, text_u8, n, patterns, P_all,
         n_side = jnp.sum(side_row, dtype=jnp.int32)
         ok = n_side <= OC2
 
-        def _pad_sort(fk, fv):
-            if fk.shape[0] < capacity:
-                padn = capacity - fk.shape[0]
-                fk = jnp.concatenate(
-                    [fk, jnp.full((padn,), extract.INF, jnp.int32)])
-                fv = jnp.concatenate([fv, jnp.zeros((padn,), jnp.int32)])
-            sk, sv = jax.lax.sort((fk, fv), num_keys=1)
-            return sk[:capacity], sv[:capacity]
-
         def _with_side():
-            # Full-block verify of the (bounded) side rows — the same
-            # per-word pay-plane build as the block path, on OC2 rows.
+            # Full-block verify of the (bounded) side rows — the shared
+            # pay-plane chain (_pay_planes) on OC2 rows.
             oids = extract.sorted_nonzero_ids(
                 side_row.astype(jnp.int32), OC2, cap_b
             )
@@ -549,20 +558,7 @@ def extract_region_multi_groups(bmask, x2d, text_u8, n, patterns, P_all,
             oblk = jnp.where(oids < cap_b, bids[oc], nb)
             word_pos = oblk[:, None] * 512 + 4 * jnp.arange(
                 128, dtype=jnp.int32)[None, :]
-            pay = []
-            for a in range(4):
-                plane = jnp.zeros((OC2, 128), jnp.int32)
-                for p in range(k):
-                    accv = None
-                    for kk in range(nw):
-                        if Mnp[a, kk] == 0:
-                            continue
-                        w = owin[:, kk : kk + 128]
-                        eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 \
-                            else ((w & M[a, kk]) == P_all[p, a, kk])
-                        accv = eq if accv is None else (accv & eq)
-                    plane |= accv.astype(jnp.int32) << p
-                pay.append(jnp.where(word_pos + a <= limit, plane, 0))
+            pay = _pay_planes(owin, word_pos, P_all, M, Mnp, limit)
             union_nib = jnp.zeros((OC2, 128), jnp.int32)
             for a in range(4):
                 union_nib |= (pay[a] != 0).astype(jnp.int32) << a
@@ -577,14 +573,15 @@ def extract_region_multi_groups(bmask, x2d, text_u8, n, patterns, P_all,
             s_union = jnp.sum(
                 extract._popcount4(union_nib), dtype=jnp.int32
             )
-            up, uv = _pad_sort(
+            up, uv = _pad_sort_pair(
                 jnp.concatenate([keys_main, okeys.reshape(-1)]),
                 jnp.concatenate([vals_main, ovals.reshape(-1)]),
+                capacity,
             )
             return up, uv, s_counts, s_union
 
         def _no_side():
-            up, uv = _pad_sort(keys_main, vals_main)
+            up, uv = _pad_sort_pair(keys_main, vals_main, capacity)
             return up, uv, jnp.zeros((k,), jnp.int32), jnp.int32(0)
 
         upos, uval, side_counts, side_union = jax.lax.cond(
@@ -598,27 +595,13 @@ def extract_region_multi_groups(bmask, x2d, text_u8, n, patterns, P_all,
             # Side plane overflowed (adversarial: > OC2 blocks that are
             # multi-group or match-dense): offsets report truncated, but
             # counts MUST stay exact — recount EVERY gathered row at full
-            # block width (the r4 block-path verify, paid only here).
+            # block width (the shared _pay_planes chain, paid only here).
             word_pos = (jnp.where(bids < nb, bids, nb)[:, None] * 512
                         + 4 * jnp.arange(128, dtype=jnp.int32)[None, :])
-            cs, un = [], jnp.zeros((cap_b, 128), jnp.int32)
-            planes = []
-            for a in range(4):
-                plane = jnp.zeros((cap_b, 128), jnp.int32)
-                for p in range(k):
-                    accv = None
-                    for kk in range(nw):
-                        if Mnp[a, kk] == 0:
-                            continue
-                        w = win[:, kk : kk + 128]
-                        eq = (w == P_all[p, a, kk]) if Mnp[a, kk] == -1 \
-                            else ((w & M[a, kk]) == P_all[p, a, kk])
-                        accv = eq if accv is None else (accv & eq)
-                    plane |= accv.astype(jnp.int32) << p
-                planes.append(jnp.where(word_pos + a <= limit, plane, 0))
-            for p in range(k):
-                cs.append(sum(jnp.sum((planes[a] >> p) & 1,
-                                      dtype=jnp.int32) for a in range(4)))
+            planes = _pay_planes(win, word_pos, P_all, M, Mnp, limit)
+            cs = [sum(jnp.sum((planes[a] >> p) & 1, dtype=jnp.int32)
+                      for a in range(4)) for p in range(k)]
+            un = jnp.zeros((cap_b, 128), jnp.int32)
             for a in range(4):
                 un |= (planes[a] != 0).astype(jnp.int32) << a
             return (jnp.stack(cs),

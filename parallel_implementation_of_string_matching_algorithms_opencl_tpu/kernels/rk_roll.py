@@ -28,6 +28,30 @@ with the jnp gather-compare (ops/rabin_karp._verify_candidates).
 
 B and B^m are baked in as int32 constants; two's-complement wrap equals
 the uint32 host tables (ops/tables.rk_constants) bit-for-bit.
+
+CONFIG-2 COST MODEL (round-5 measured, 1 GB / k=8 / m=16, tier 327680,
+capacity 2^19 — BENCH_MATRIX.json config-2 row with scan/extract split):
+
+- union-screen SCAN: 44.9 ms/GB measured (same-day window in the box's
+  ~2x-slow compute state — see BENCH_DRIFT_AB.json); the Omega(k)
+  k-cmp+(k-1)-or per-position VPU floor is ~16.8 ms/GB at k=8 (the
+  in-kernel comment below), so the scan runs at ~2.7x floor in this
+  window, consistent with the k=1 efficiency ratio.
+- EXTRACTION: 35.0 ms/GB measured e2e, decomposing (exp/multi_breakdown
+  at the same tier) into: candidate-id prepass+compaction ~2.2 ms, block
+  gather (327680 x 133-word rows, ~174 MB moved twice) 6.8 ms measured,
+  the k*4-plane verify ~13.4 G VPU ops (~21 ms at this window's VPU
+  rate; the FLOOR of the block design — every gathered position verifies
+  against every pattern), and capacity-bounded sort machinery for the
+  remainder.  The verify+gather floor is structural for 512-B-block
+  granularity: with ~280k matches spread over ~267k distinct blocks, any
+  block-granular gather touches ~137 MB of text and verifies 168 M
+  positions.  The round-5 GROUP-granular attempt (verify only each
+  block's occupied 32-byte group; `multi_gather='groups'`) cut the
+  verify ~16x but measured SLOWER e2e (23.4 vs 21.7 ms at 256 MiB) and
+  degenerates on real multi-pattern density (blocks holding matches in
+  >1 group are common, overflowing any bounded side plane) — kept as a
+  tested experimental mode / measured negative (ARCHITECTURE.md).
 """
 
 from __future__ import annotations

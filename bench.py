@@ -260,7 +260,8 @@ def main():
     ap.add_argument("--emission", default=None, choices=["sparse", "nib"],
                     help="override MatchConfig.emission for A/B timing")
     ap.add_argument("--bm-probes", default=None,
-                    choices=["table", "table_dyn", "static"],
+                    choices=["table_gs", "table_gs1", "table", "table_dyn",
+                             "static"],
                     help="override MatchConfig.bm_probes for A/B timing")
     ap.add_argument("--detail-out", default="BENCH_DETAIL.json")
     ap.add_argument("--no-drift", action="store_true",

@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="offset emission mode (default: sparse — kernels "
                          "emit block sums only)")
     ap.add_argument("--bm-probes", default=None,
-                    choices=["table_gs", "table", "table_dyn", "static"],
+                    choices=["table_gs", "table_gs1", "table", "table_dyn",
+                             "static"],
                     help="Boyer-Moore screen probe selection (default "
                          "table_gs: bad-char + good-suffix scored)")
     ap.add_argument("--kmp-long", default=None,

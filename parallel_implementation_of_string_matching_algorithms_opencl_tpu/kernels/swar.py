@@ -140,7 +140,8 @@ def _probe_indices(M: np.ndarray) -> tuple:
     return tuple(out)
 
 
-def probe_table(pattern: np.ndarray, use_gs: bool = False) -> np.ndarray:
+def probe_table(pattern: np.ndarray, use_gs: bool = False,
+                single: bool = False) -> np.ndarray:
     """int32[4, 2] bad-character-scored probe word indices per alignment
     (SURVEY.md R4/R10 — the "bad-char skip" heuristic driving the kernel's
     screen).
@@ -199,7 +200,11 @@ def probe_table(pattern: np.ndarray, use_gs: bool = False) -> np.ndarray:
             scores.append((s, k))
         scores.sort(reverse=True)
         best = scores[0][1]
-        if len(scores) == 1:
+        if single or len(scores) == 1:
+            # ``single=True`` (bm_probes='table_gs1'): ONE probe word per
+            # alignment — half the screen's compare ALU at the cost of a
+            # weaker screen (more candidates for the sparse verify, whose
+            # cost is count-adaptive).  Measured A/B in BASELINE.md.
             out[a] = (best, best)
         else:
             # Partner: SEPARATION-primary, score as tiebreak.  Adjacent

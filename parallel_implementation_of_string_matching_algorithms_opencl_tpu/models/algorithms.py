@@ -394,13 +394,17 @@ class BoyerMooreMatcher(Matcher):
     @classmethod
     def _specialize_config(cls, config: MatchConfig,
                            pat: np.ndarray) -> MatchConfig:
-        if config.bm_probes in ("table", "table_gs"):
+        if config.bm_probes in ("table", "table_gs", "table_gs1"):
             # ALWAYS recompute: a config recycled from a different-pattern
             # matcher would otherwise carry that pattern's layout (out-of-
             # range word indices for a shorter pattern -> trace-time
             # IndexError; silently wrong probes for an equal-length one).
             layout = swar.static_probes_from_table(
-                swar.probe_table(pat, use_gs=config.bm_probes == "table_gs")
+                swar.probe_table(
+                    pat,
+                    use_gs=config.bm_probes in ("table_gs", "table_gs1"),
+                    single=config.bm_probes == "table_gs1",
+                )
             )
             if layout != config.bm_probe_layout:
                 return config.replace(bm_probe_layout=layout)

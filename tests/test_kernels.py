@@ -348,8 +348,14 @@ def test_bm_table_vs_static_probes_parity():
         assert expected
         r_tab = BoyerMooreMatcher(patb, CFG).match(text)
         r_sta = BoyerMooreMatcher(patb, CFG.replace(bm_probes="static")).match(text)
-        assert r_tab.count == r_sta.count == len(expected)
-        assert r_tab.offsets_list() == r_sta.offsets_list() == expected
+        # Single-probe screen (r5, 'table_gs1'): weaker screen, identical
+        # exact output (candidates are re-verified downstream).
+        r_one = BoyerMooreMatcher(
+            patb, CFG.replace(bm_probes="table_gs1")
+        ).match(text)
+        assert r_tab.count == r_sta.count == r_one.count == len(expected)
+        assert (r_tab.offsets_list() == r_sta.offsets_list()
+                == r_one.offsets_list() == expected)
 
 
 def test_bm_table_dyn_probes_sparse_exact():

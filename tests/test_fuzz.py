@@ -128,3 +128,40 @@ def test_multibyte_utf8_offsets():
     for algo in ALGOS:
         r = match(s, pat, algo=algo, config=JNP_CFG)
         assert r.offsets_list() == expected, algo
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_stream_drain_fuzz(seed, tmp_path):
+    # Round-5 streaming drain under randomized density: random corpus with
+    # random dense runs, random tiny capacity, random chunk size — every
+    # oracle offset must come back with overflow=False, across chunk-seam
+    # splits the fuzzer has no knowledge of.
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.parallel.streaming import (
+        match_stream,
+    )
+
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(40_000, 120_000))
+    alpha = ["binary", "dna", "english"][seed % 3]
+    data = bytearray(GENERATORS[alpha](n, seed=200 + seed))
+    m = int(rng.integers(2, 9))
+    pat = bytes(rng.integers(97, 100, size=m, dtype=np.uint8))
+    # dense runs of the pattern at random spots (heavy overlap for m>1)
+    for _ in range(int(rng.integers(1, 4))):
+        pos = int(rng.integers(0, n - 40 * m))
+        run = (pat * 40)[: 40 * m]
+        data[pos : pos + len(run)] = run
+    text = bytes(data)
+    want = find_all(text, pat)
+    path = tmp_path / f"fuzz{seed}.bin"
+    path.write_bytes(text)
+    cap = int(rng.integers(4, 40))
+    chunk = int(rng.integers(2, 6)) * 4096
+    cfg = MatchConfig(capacity=cap, verify_capacity=max(cap, 64),
+                      pad_multiple=1024)
+    algo = ALGOS[int(rng.integers(0, 4))]
+    r = match_stream(str(path), pat, algo=algo, config=cfg,
+                     chunk_bytes=chunk, drain=True)
+    assert r.count == len(want), (algo, cap, chunk)
+    assert r.offsets_list() == want, (algo, cap, chunk)
+    assert not r.overflow

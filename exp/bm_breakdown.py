@@ -22,7 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import swar
 from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.registry import get_matcher
-from parallel_implementation_of_string_matching_algorithms_opencl_tpu.ops import emit
+from parallel_implementation_of_string_matching_algorithms_opencl_tpu.ops import reconstruct
 from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import MatchConfig
 from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import GENERATORS, pad_to_multiple
 
@@ -88,15 +88,17 @@ def breakdown(corpus, mb, pattern, seed=42):
     ncand = int(jnp.sum(bs))
     print(f"A kernel-only: {tk*1e3:7.2f} ms  ({n/tk/1e9:6.1f} GB/s)  cand={ncand} cand_blocks={nblk}", flush=True)
 
-    # B. reconstruction only
+    # B. reconstruction only (round-5 API: word-space extract_region)
     cut = (n // (128 * 4096)) * (128 * 4096) - (m - 1)
+    x2d = reconstruct.full_words2d(td, wd)
 
-    def recon(nn, bs_, t):
+    def recon(nn, bs_, t, w):
         limit_k = jnp.minimum(nn - m, cut - 1)
-        return emit.bsums_to_matches_screened(bs_, t, pd, limit_k, cfg.capacity)
+        return reconstruct.extract_region(
+            bs_, w, t, nn, tabd["swar_p"], m, limit_k, cfg.capacity, cfg)
 
-    tr = timed_chain(jax.jit(recon), n, bs, td)
-    out = jax.jit(recon)(jnp.int32(n), bs, td)
+    tr = timed_chain(jax.jit(recon), n, bs, td, x2d)
+    out = jax.jit(recon)(jnp.int32(n), bs, td, x2d)
     print(f"B recon-only:  {tr*1e3:7.2f} ms  count={int(out[0])}", flush=True)
 
     # C. e2e

@@ -315,11 +315,15 @@ def _stage_ext(x_ref, nxt_ref, ext_ref, W):
     from a sublane roll of the tile itself (chunks are contiguous text);
     row 127 reads the NEXT tile's first chunk via the (8, HALO_WORDS)
     ``nxt`` block (clamped to garbage on the last tile — every position it
-    could affect is >= the kernel coverage cut and validity-masked)."""
+    could affect is >= the kernel coverage cut and validity-masked).
+
+    The roll covers ONLY the halo columns: rolling the whole (128, W) tile
+    and then slicing measured 1.6x slower at 256 MiB (Mosaic does not fuse
+    the slice into the roll — exp/screen_kernel_opt.py V1)."""
     xv = x_ref[:]
     ext_ref[:, :W] = xv
-    hal = pltpu.roll(xv, shift=127, axis=0)  # row r <- row r+1
-    ext_ref[:, W:] = hal[:, :HALO_WORDS]
+    hal = pltpu.roll(xv[:, :HALO_WORDS], shift=127, axis=0)  # row r <- r+1
+    ext_ref[:, W:] = hal
     ext_ref[pl.ds(127, 1), W:] = nxt_ref[0:1, :]
     return ext_ref[:]
 
@@ -412,24 +416,55 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref, nib_ref,
     _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
 
 
-def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref, nib_ref,
+def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref,
                         bs_ref, ext_ref, *, W, C, m, Mnp, probes):
     """Boyer-Moore CANDIDATE screen: the probe compares alone, emitted as
-    candidate nibbles/block-sums — no in-kernel verify, no per-tile
-    ``pl.when`` branch.  The fused variant's predicated verify stalls the
-    tile pipeline even when ~no tile hits (measured 3.75 ms vs naive's
-    1.75 ms straight-line chain at 256 MiB); this kernel streams pure
-    compares and delegates exact verification to the window-compare
-    sparse reconstruction (ops/reconstruct.extract_region — the same
+    candidate block sums — no in-kernel verify, no per-tile ``pl.when``
+    branch.  The fused variant's predicated verify stalls the tile
+    pipeline even when ~no tile hits (measured 3.75 ms vs naive's 1.75 ms
+    straight-line chain at 256 MiB); this kernel streams pure compares and
+    delegates exact verification to the window-compare sparse
+    reconstruction (ops/reconstruct.extract_region — the same
     candidates-are-a-superset contract as the Rabin-Karp hash screen,
-    including the exact recount and the overflow/truncation flag)."""
+    including the exact recount and the overflow/truncation flag).
+
+    LITE epilogue (round 5, exp/screen_kernel_opt.py): because the sparse
+    reconstruction re-verifies gathered chunks from the word view, screen
+    block sums only need to mark WHICH blocks hold candidates — so the
+    per-alignment nibble pack, the popcount, and the nib scratch round
+    trip are all dead work here.  bs = per-block count of words with an
+    any-alignment probe hit (a valid candidate superset; per-word
+    validity clamp keeps the tail tile from flooding the chunk ranking).
+    Measured 2.66x faster than the nibble-pack form in the same window
+    (4.87 -> 1.83 ms at 256 MiB english / m=16 incl. the narrow halo
+    roll; block sums bit-exact on that corpus)."""
     ext = _stage_ext(x_ref, nxt_ref, ext_ref, W)
     accs = _probe_accs(ext, W, P_ref, M_ref, Mnp, probes)
-    nib = jnp.zeros((128, W), jnp.int32)
-    for a in range(4):
-        nib |= accs[a].astype(jnp.int32) << a
-    nib_ref[:] = nib
-    _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
+    cand = ((accs[0] | accs[1]) | (accs[2] | accs[3])).astype(jnp.int32)
+
+    i = pl.program_id(0)
+    nlim = n_ref[0] - m
+    row = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+    word_pos = (i * 128 + row) * C + col * 4
+    tile_last = (i + 1) * (128 * C) - 1
+    cand = jnp.where(
+        tile_last > nlim, jnp.where(word_pos <= nlim, cand, 0), cand
+    )
+
+    jb = W // 128
+    per = jnp.sum(cand.reshape(128, jb, 128), axis=2)  # (128, jb)
+    bs = per.T
+    if jb < 8:
+        bs = jnp.concatenate([bs, jnp.zeros((8 - jb, 128), jnp.int32)],
+                             axis=0)
+    bs_ref[...] = bs
+
+    @pl.when(i == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
 
 
 def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, nxt_ref, cnt_ref,
@@ -513,7 +548,7 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
         ),
         scratch_shapes=(
             [pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)]
-            if nib_out
+            if nib_out or mode == "screen_cand"
             else [
                 pltpu.VMEM((128, W + HALO_WORDS), jnp.int32),
                 pltpu.VMEM((128, W), jnp.int32),  # scratch nibble plane
@@ -530,10 +565,11 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
         kern = functools.partial(_screened_dyn_kernel, W=W, C=C, m=m, Mnp=Mnp)
     else:
         kern = functools.partial(_naive_kernel, W=W, C=C, m=m, Mnp=Mnp)
-    if not nib_out:
+    if not nib_out and mode != "screen_cand":
         # Same kernel body; the nibble plane ref is the trailing VMEM
         # scratch rather than an output.  Leading refs: scalar prefetch +
         # inputs (naive/screened: n,P,M,x,h = 5; screened_dyn adds pr = 6).
+        # (screen_cand has its own nib-free body — refs map directly.)
         n_lead = n_scalars + 2
         body = kern
 

@@ -51,6 +51,16 @@ SMALL_TEXT_CHUNKS = 65536  # <= 256 MiB
 # dense_extract before giving up to the drain path.
 SPARSE_OVERFLOW_ROWS = 512
 DENSE_OVERFLOW_ROWS = 2048
+# Small-count tier (round 5): sparse candidate profiles (BM/RK screens on
+# ordinary corpora leave a few thousand candidate chunks at most) pay
+# dense_extract's fixed machinery — the T-slot decode over cap_g*8 rows
+# and a ~(cap_g*8*T + side*512)-key sort — regardless of how few
+# candidates exist.  A 512-chunk tier runs the same pipeline at 1/8 width
+# (side budget 256, escalating 8x to 2048; past that ok=False routes to
+# drain exactly like the wide tier's own give-up).  Measured: BM recon
+# 2.2 -> ~0.7 ms at 256 MiB english (exp/bm_breakdown.py).
+SMALL_G = 512
+SMALL_OVERFLOW_ROWS = 256
 
 
 def full_words2d(text_u8, words):
@@ -118,14 +128,13 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
         SPARSE_CHUNKS_SMALL if Lr <= SMALL_TEXT_CHUNKS else SPARSE_CHUNKS,
         Lr,
     )
-    ncand = jnp.sum(chunkc > 0, dtype=jnp.int32)
     # Candidate chunks beyond the fixed gather width are the ONE condition
     # sparse cannot absorb (its extraction work is otherwise bounded by the
     # compact plane + the rank<capacity relevance window inside
     # dense_extract); everything else stays on the cheap path.
-    use_dense = ncand > cap_g
+    ncand = jnp.sum(chunkc > 0, dtype=jnp.int32)
 
-    def sparse_w(cg, _=None):
+    def sparse_w(cg, overflow_rows=SPARSE_OVERFLOW_ROWS, _=None):
         gids = extract.sorted_nonzero_ids(chunkc, cg, fill=Lr)
         nib = _verify_chunks(x2d, gids, P, M, Mnp, limit)
         c_sm = jnp.sum(extract._popcount4(nib), dtype=jnp.int32)
@@ -137,14 +146,14 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
         ).reshape(-1)
         offs, ok = extract.dense_extract(
             rows2, rc2, base2, capacity,
-            overflow_rows=SPARSE_OVERFLOW_ROWS,
+            overflow_rows=overflow_rows,
         )
         # ~ok offsets hide gaps (sorted compaction) — blank them; the
         # count stays exact and overflow=True routes callers to drain.
         offs = jnp.where(ok, offs, jnp.int32(FILL))
         return c_sm, offs, ok
 
-    sparse = functools.partial(sparse_w, cap_g)
+    sparse = functools.partial(sparse_w, cap_g, SPARSE_OVERFLOW_ROWS)
 
     def dense(_):
         # Full naive rescan with nibble emission: exact verify of EVERY
@@ -165,34 +174,33 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
         offs = jnp.where(ok, offs, jnp.int32(FILL))
         return jnp.sum(bs2, dtype=jnp.int32), offs, ok
 
-    # Long patterns: the per-chunk verify chain scales with nw (4*nw
-    # masked compares over cap_g*(1024+nw) words — ~4-5 ms at nw=65 /
-    # cap_g=4096), and the fixed-width gather pays it even when ~no
-    # chunk is a candidate (fill rows are verified as garbage and
-    # validity-zeroed).  A small-count tier caps that waste: english
-    # m>=64 screens leave a handful of candidate chunks, so the 512-row
-    # tier runs the same chain at 1/8 the width.  Round-5 fix for the
-    # config-3 m=256 row (9.5 GB/s, VERDICT weak #3): the cost was this
-    # flat verify, not the dist wrapper.  nw < 17 (m <= 61) keeps the
-    # old single-width path — the chain is cheap there and a lax.switch
-    # costs ~0.3 ms + an extra compiled branch.
-    SMALL_G = 512
-    if nw >= 17 and Lr > SMALL_G:
-        branches = [functools.partial(sparse_w, SMALL_G), sparse]
+    # Count-tiered gather, ALL pattern lengths (round 5).  Two costs make
+    # the fixed-width path wasteful on sparse candidate profiles:
+    # (a) long patterns — the verify chain scales with nw (4*nw masked
+    # compares over cap_g*(1024+nw) words, ~4-5 ms at nw=65/cap_g=4096)
+    # even when ~no chunk is a candidate (the round-5 fix for the
+    # config-3 m=256 row, VERDICT weak #3); (b) every pattern length —
+    # dense_extract's slot decode runs over cap_g*8 rows and its sort
+    # over cap_g*8*T + side*512 keys regardless of the candidate count
+    # (~2.2 ms of the BM recon at 256 MiB english with 2.8k candidate
+    # chunks, exp/bm_breakdown.py).  The 512-chunk tier runs the same
+    # pipeline at 1/8 width (side budget SMALL_OVERFLOW_ROWS, 8x
+    # escalation, then the same ok=False -> drain give-up); the switch
+    # dispatch (~0.3 ms) replaces the cond the wide path paid anyway.
+    if Lr > SMALL_G:
+        branches = [
+            functools.partial(sparse_w, SMALL_G, SMALL_OVERFLOW_ROWS),
+            sparse,
+        ]
         sel = (ncand > SMALL_G).astype(jnp.int32)
         if Lr > cap_g:  # dense reachable only when ncand can exceed cap_g
             branches.append(dense)
             sel = sel + (ncand > cap_g).astype(jnp.int32)
         count, offs, ok = jax.lax.switch(sel, branches, None)
-    elif Lr <= cap_g:
-        # Every chunk fits the sparse gather — the dense branch is
-        # statically unreachable; skip the cond (it costs ~0.3 ms and
-        # compiles a second kernel).
-        count, offs, ok = sparse(None)
     else:
-        count, offs, ok = jax.lax.cond(
-            use_dense, dense, sparse, operand=None
-        )
+        # Tiny region (Lr <= SMALL_G): every chunk fits one sparse gather
+        # (cap_g = Lr) — no tiering, no dispatch.
+        count, offs, ok = sparse(None)
     return count, offs, (count > capacity) | ~ok
 
 

@@ -204,12 +204,43 @@ def drift_check(results, argv_base, root="."):
         cmd = [sys.executable, "bench.py", "--algos", algos,
                "--detail-out", dj] + argv_base
         env = dict(os.environ, TPUMATCH_NO_DRIFT="1")
-        r = subprocess.run(cmd, cwd=wt, capture_output=True, timeout=900,
-                           text=True, env=env)
-        if r.returncode != 0 or not os.path.exists(dj):
-            out["error"] = (r.stderr or "")[-500:]
+
+        def run_ref():
+            r = subprocess.run(cmd, cwd=wt, capture_output=True,
+                               timeout=900, text=True, env=env)
+            if r.returncode != 0 or not os.path.exists(dj):
+                return None, (r.stderr or "")[-500:]
+            return json.load(open(dj))["results"], None
+
+        refres, err = run_ref()
+        if refres is None:
+            out["error"] = err
             return out
-        refres = json.load(open(dj))["results"]
+        # Replay-cache sanity gate: the ref run repeats the parent's exact
+        # (program, operands) pairs seconds later (same corpus seed; the
+        # AOT cache reproduces the executable), and the tunnel's replay
+        # cache can serve them WITHOUT executing — measured 299-617
+        # "GB/s" for a commit whose direct worktree runs landed 110-160
+        # in the same hour.  A ref number far above both the prior
+        # canonical and HEAD is that artifact, not a golden window: wait
+        # out the cache and re-run once; if it persists, record the row
+        # as suspect rather than let a fake A/B decide the verdict.
+        implausible = lambda rv_gbs, old, new: (
+            rv_gbs is not None and rv_gbs > 1.6 * max(old, new)
+        )
+        if any(
+            implausible(
+                (refres.get(a, {}).get("bytes_per_s_per_chip") or 0) / 1e9,
+                o, n_,
+            )
+            for a, o, n_ in moved
+        ):
+            print("  drift sentinel: ref numbers look replay-inflated; "
+                  "draining 30s and re-running once", file=sys.stderr)
+            time.sleep(30)
+            refres2, _ = run_ref()
+            if refres2 is not None:
+                refres = refres2
         for algo, old, new in moved:
             rv = refres.get(algo, {}).get("bytes_per_s_per_chip")
             if rv is None:
@@ -229,7 +260,10 @@ def drift_check(results, argv_base, root="."):
             rv /= 1e9
             # Same-window parity between commits => the move is the box;
             # the ref commit reproducing its own old number => code.
-            verdict = drift_verdict(new, rv)
+            # A ref number still far above both prior and HEAD after the
+            # drain-and-retry is the replay artifact — flag, don't judge.
+            verdict = ("ref_run_suspect" if implausible(rv, old, new)
+                       else drift_verdict(new, rv))
             out["rows"].append({
                 "algo": algo, "prior_canonical_gbs": old,
                 "head_gbs": round(new, 2),

@@ -266,10 +266,18 @@ def dense_extract(rows: jnp.ndarray, rc: jnp.ndarray, pos_base: jnp.ndarray,
     if overflow_rows <= 0:
         return sort_keys_to_offsets(slot_flat, capacity), jnp.sum(
             over, dtype=jnp.int32) == 0
-    offs = jax.lax.cond(
-        n_rel <= overflow_rows,
-        lambda _: side(overflow_rows),
-        lambda _: side(big),
-        operand=None,
+    # Three-way switch on the side-plane need: n_rel == 0 (the common
+    # sparse case) sorts ONLY the slot keys — the side(overflow_rows)
+    # branch's oc_rows*512 extra keys are all-INF there and cost ~45% of
+    # its sort input.  Same single dispatch as the old 2-way cond.
+    offs = jax.lax.switch(
+        (n_rel > 0).astype(jnp.int32)
+        + (n_rel > overflow_rows).astype(jnp.int32),
+        [
+            lambda _: sort_keys_to_offsets(slot_flat, capacity),
+            lambda _: side(overflow_rows),
+            lambda _: side(big),
+        ],
+        None,
     )
     return offs, ok

@@ -131,10 +131,16 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
     # Candidate chunks beyond the fixed gather width are the ONE condition
     # sparse cannot absorb (its extraction work is otherwise bounded by the
     # compact plane + the rank<capacity relevance window inside
-    # dense_extract); everything else stays on the cheap path.
+    # dense_extract); everything else stays on the cheap path.  nblk
+    # (candidate 512B blocks) upper-bounds the MATCH-bearing rows (a match
+    # block is necessarily a candidate block), which lets the compacted
+    # branch run unguarded: the tier selector admits it only when nblk
+    # fits the compaction budget.
     ncand = jnp.sum(chunkc > 0, dtype=jnp.int32)
+    nblk = jnp.sum(bs > 0, dtype=jnp.int32)
 
-    def sparse_w(cg, overflow_rows=SPARSE_OVERFLOW_ROWS, _=None):
+    def sparse_w(cg, overflow_rows=SPARSE_OVERFLOW_ROWS, compact=False,
+                 _=None):
         gids = extract.sorted_nonzero_ids(chunkc, cg, fill=Lr)
         nib = _verify_chunks(x2d, gids, P, M, Mnp, limit)
         c_sm = jnp.sum(extract._popcount4(nib), dtype=jnp.int32)
@@ -144,6 +150,26 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
             gids[:, None] * 4096
             + 512 * jnp.arange(8, dtype=jnp.int32)[None, :]
         ).reshape(-1)
+        if compact:
+            # Wide-tier row compaction (round 5): dense_extract's slot
+            # decode + sort scale with its ROW count, and the chunk
+            # verify hands it cg*8 = 32768 rows even when only ~1k hold
+            # matches (BM headline: 2837 candidate chunks, 976 matches).
+            # Rank-select the match-bearing 512B rows into a 2*cg plane
+            # first.  NO inner guard: this branch is reachable only when
+            # nblk <= 2*cg (the switch selector below), and match rows
+            # <= nblk, so the budget cannot be exceeded.  An inner
+            # guard cond measured as a whole extra dispatch (~0.3 ms,
+            # exp/recon_compact.py / cond_passthrough).
+            budget = 2 * cg
+            ids = extract.sorted_nonzero_ids(
+                (rc2 > 0).astype(jnp.int32), budget, cg * 8
+            )
+            idc = jnp.clip(ids, 0, cg * 8 - 1)
+            live = ids < cg * 8
+            rows2 = jnp.where(live[:, None], rows2[idc], 0)
+            rc2 = jnp.where(live, rc2[idc], 0)
+            base2 = jnp.where(live, base2[idc], 0)
         offs, ok = extract.dense_extract(
             rows2, rc2, base2, capacity,
             overflow_rows=overflow_rows,
@@ -153,7 +179,7 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
         offs = jnp.where(ok, offs, jnp.int32(FILL))
         return c_sm, offs, ok
 
-    sparse = functools.partial(sparse_w, cap_g, SPARSE_OVERFLOW_ROWS)
+    sparse = functools.partial(sparse_w, cap_g, SPARSE_OVERFLOW_ROWS, False)
 
     def dense(_):
         # Full naive rescan with nibble emission: exact verify of EVERY
@@ -183,19 +209,27 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
     # dense_extract's slot decode runs over cap_g*8 rows and its sort
     # over cap_g*8*T + side*512 keys regardless of the candidate count
     # (~2.2 ms of the BM recon at 256 MiB english with 2.8k candidate
-    # chunks, exp/bm_breakdown.py).  The 512-chunk tier runs the same
-    # pipeline at 1/8 width (side budget SMALL_OVERFLOW_ROWS, 8x
-    # escalation, then the same ok=False -> drain give-up); the switch
-    # dispatch (~0.3 ms) replaces the cond the wide path paid anyway.
+    # chunks, exp/bm_breakdown.py).  ONE lax.switch picks, in precedence
+    # order: small tier (ncand <= SMALL_G, 1/8-width pipeline) /
+    # wide+compact (nblk fits the 2*cap_g row budget) / wide-plain /
+    # dense.  All selection happens in this one dispatch — inner guard
+    # conds each measured as another ~0.3 ms (exp/recon_compact.py), the
+    # difference that left e2e slower than round 4 despite 2.2-2.7x
+    # faster components.
     if Lr > SMALL_G:
         branches = [
-            functools.partial(sparse_w, SMALL_G, SMALL_OVERFLOW_ROWS),
+            functools.partial(sparse_w, SMALL_G, SMALL_OVERFLOW_ROWS, False),
+            functools.partial(sparse_w, cap_g, SPARSE_OVERFLOW_ROWS, True),
             sparse,
         ]
-        sel = (ncand > SMALL_G).astype(jnp.int32)
+        sel = jnp.where(
+            ncand <= SMALL_G,
+            0,
+            jnp.where(nblk <= 2 * cap_g, 1, 2),
+        )
         if Lr > cap_g:  # dense reachable only when ncand can exceed cap_g
             branches.append(dense)
-            sel = sel + (ncand > cap_g).astype(jnp.int32)
+            sel = jnp.where(ncand > cap_g, 3, sel)
         count, offs, ok = jax.lax.switch(sel, branches, None)
     else:
         # Tiny region (Lr <= SMALL_G): every chunk fits one sparse gather

@@ -37,21 +37,28 @@ capacity 2^19 — BENCH_MATRIX.json config-2 row with scan/extract split):
   k-cmp+(k-1)-or per-position VPU floor is ~16.8 ms/GB at k=8 (the
   in-kernel comment below), so the scan runs at ~2.7x floor in this
   window, consistent with the k=1 efficiency ratio.
-- EXTRACTION: 35.0 ms/GB measured e2e, decomposing (exp/multi_breakdown
-  at the same tier) into: candidate-id prepass+compaction ~2.2 ms, block
-  gather (327680 x 133-word rows, ~174 MB moved twice) 6.8 ms measured,
-  the k*4-plane verify ~13.4 G VPU ops (~21 ms at this window's VPU
-  rate; the FLOOR of the block design — every gathered position verifies
-  against every pattern), and capacity-bounded sort machinery for the
-  remainder.  The verify+gather floor is structural for 512-B-block
-  granularity: with ~280k matches spread over ~267k distinct blocks, any
-  block-granular gather touches ~137 MB of text and verifies 168 M
-  positions.  The round-5 GROUP-granular attempt (verify only each
-  block's occupied 32-byte group; `multi_gather='groups'`) cut the
-  verify ~16x but measured SLOWER e2e (23.4 vs 21.7 ms at 256 MiB) and
-  degenerates on real multi-pattern density (blocks holding matches in
-  >1 group are common, overflowing any bounded side plane) — kept as a
-  tested experimental mode / measured negative (ARCHITECTURE.md).
+- EXTRACTION: 35.0 ms/GB measured e2e on the 'blocks' path, decomposing
+  (exp/multi_breakdown at the same tier) into: candidate-id
+  prepass+compaction ~2.2 ms, block gather (327680 x 133-word rows,
+  ~174 MB moved twice) 6.8 ms measured, the k*4-plane verify ~13.4 G
+  VPU ops (~21 ms at this window's VPU rate; the FLOOR of the block
+  design — every gathered position verifies against every pattern), and
+  capacity-bounded sort machinery for the remainder.  The round-5
+  PATTERN-SELECTED path (`multi_gather='pselect'`, now the default)
+  broke that floor: the kernel's 'pmask' emission tells extraction WHICH
+  <=2 patterns to verify per block, cutting the verify k/2-fold —
+  config-2 e2e 80 -> 70 ms (12.5 -> 14.2 GB/s), exact
+  (exp/pselect_ab.py; stage deltas exp/pselect_breakdown.py: scan 45.4,
+  rank 4.2, gather 5.7, 2-chain verify 10.2, sorts+side+counts 9.7,
+  tail epilogue 2.8).  The SCAN is now ~64% of the config-2 wall.
+  The round-5 GROUP-granular attempt (verify only each block's occupied
+  32-byte group; `multi_gather='groups'`) cut the verify ~16x but
+  measured SLOWER e2e (23.4 vs 21.7 ms at 256 MiB) and degenerates on
+  real multi-pattern density (blocks holding matches in >1 group are
+  common, overflowing any bounded side plane) — kept as a tested
+  experimental mode / measured negative (ARCHITECTURE.md).  Lesson pair:
+  splitting verify ACROSS PATTERNS (pselect) pays; splitting WITHIN
+  blocks (groups) does not.
 """
 
 from __future__ import annotations
@@ -98,6 +105,7 @@ def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
     from .shift_and import (
         _end_to_start_bmask,
         _end_to_start_bsums,
+        _end_to_start_pmask,
         _stage_subchunks,
     )
 
@@ -107,7 +115,7 @@ def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
                          G8=G * 8)
     else:
         x3_ref, out_ref, *scratch = refs
-    nibE_ref = scratch[0] if emit in ("bsums", "bmask") else out_ref
+    nibE_ref = scratch[0] if emit in ("bsums", "bmask", "pmask") else out_ref
     qo, ro = divmod(m, 4)
     # Word-level roll: the byte recurrence H <- H*B + (new - old*Bm) has a
     # serial int32-multiply chain per BYTE; with d_b = new_b - old_b*Bm
@@ -152,19 +160,36 @@ def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
             Hs = (H * B + ts[0], H * B2 + ts[1],
                   H * B3 + ts[2], H * B4 + ts[3])
             nib = jnp.zeros((8, 128), jnp.int32)
-            # k-membership floor (round-4 measured): the screen needs
-            # ~k cmp + (k-1) or per position — k=8 measured 12.2 ms vs
-            # k=1's 4.1 at 256 MiB, ~2x the ~15-op/position VPU floor
-            # (same efficiency ratio as k=1, so it is throughput, not the
-            # chain).  Tree-OR of the compares measured 13.3 ms (no win,
-            # recorded); hoisting the k SMEM target reads out of the
-            # word/byte loops (tgts above) is kept as the cheap form.
-            for b in range(4):
-                hit = None
+            if emit == "pmask":
+                # Per-word k-bit PATTERN masks instead of per-byte end
+                # flags: bit p = any of this word's four end positions
+                # hash-hit pattern p.  Word granularity suffices — the
+                # downstream pattern-selected verify only needs to know
+                # WHICH pattern to verify per candidate block
+                # (ops/reconstruct.extract_region_multi_pselect); same
+                # compare count as the union screen, restructured
+                # per-pattern.
                 for p in range(k):
-                    eq = Hs[b] == tgts[p]
-                    hit = eq if hit is None else (hit | eq)
-                nib |= hit.astype(jnp.int32) << b
+                    eqp = (
+                        (Hs[0] == tgts[p]) | (Hs[1] == tgts[p])
+                        | (Hs[2] == tgts[p]) | (Hs[3] == tgts[p])
+                    )
+                    nib |= eqp.astype(jnp.int32) << p
+            else:
+                # k-membership floor (round-4 measured): the screen needs
+                # ~k cmp + (k-1) or per position — k=8 measured 12.2 ms vs
+                # k=1's 4.1 at 256 MiB, ~2x the ~15-op/position VPU floor
+                # (same efficiency ratio as k=1, so it is throughput, not
+                # the chain).  Tree-OR of the compares measured 13.3 ms
+                # (no win, recorded); hoisting the k SMEM target reads out
+                # of the word/byte loops (tgts above) is kept as the cheap
+                # form.
+                for b in range(4):
+                    hit = None
+                    for p in range(k):
+                        eq = Hs[b] == tgts[p]
+                        hit = eq if hit is None else (hit | eq)
+                    nib |= hit.astype(jnp.int32) << b
             H = Hs[3]
             nibs.append(nib)
         nibE_ref[:, pl.ds(base, 8), :] = jnp.stack(nibs, axis=1)
@@ -175,6 +200,8 @@ def _kernel(n_ref, tgt_ref, *refs, G, m, B, Bm, k,
         _end_to_start_bsums(n_ref, nibE_ref, out_ref, m=m, W8=W8, C=C, Nk=Nk)
     elif emit == "bmask":
         _end_to_start_bmask(n_ref, nibE_ref, out_ref, m=m, W8=W8, C=C, Nk=Nk)
+    elif emit == "pmask":
+        _end_to_start_pmask(n_ref, nibE_ref, out_ref, m=m, W8=W8, C=C, Nk=Nk)
 
 
 @functools.lru_cache(maxsize=256)
@@ -188,7 +215,7 @@ def _build_call(Nk: int, C: int, m: int, B: int, Bm: int, k: int,
     DELTA = _delta(m)
     L = Nk // C
     nt = L // 128
-    if emit in ("bsums", "bmask"):
+    if emit in ("bsums", "bmask", "pmask"):
         assert C % 4096 == 0
         nbs = W8 // 128
         out_specs = pl.BlockSpec((8, nbs, 128), lambda i, n, t: (0, 0, i),
@@ -319,7 +346,13 @@ def rk_candidate_bsums(text_u8, n, targets, m, base: int, *,
     MASK (bit g = candidate start in 32-byte group g) instead of a count —
     same shape/HBM cost, still nonzero exactly where candidates exist;
     feeds the group-granular extraction
-    (reconstruct.extract_region_multi_groups)."""
+    (reconstruct.extract_region_multi_groups).
+
+    ``emit='pmask'``: each block's int32 is a k-bit PATTERN-HIT mask
+    (bit p = pattern p's hash hit a window starting in this block — a
+    per-pattern superset); feeds the pattern-selected extraction
+    (reconstruct.extract_region_multi_pselect), which verifies each
+    single-pattern block against only its one flagged pattern."""
     prep = _prepare(text_u8, n, targets, m, base, chunk_bytes, words,
                     need_whole_blocks=True)
     if prep is None:

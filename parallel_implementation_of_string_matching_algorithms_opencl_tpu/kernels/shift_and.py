@@ -183,6 +183,40 @@ def _fold_start_nibbles(n_ref, nibE_ref, *, m, W8, C, Nk):
     return sn & ((1 << keep) - 1)
 
 
+def _end_to_start_pmask(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
+    """Fold per-END-WORD k-bit PATTERN-HIT masks to per-512-byte-block
+    pattern masks (round 5, the 'pmask' emission behind multi_gather=
+    'pselect').  A window starting at byte 4*gw'+a ends in word gw'+q
+    (r == 0) or gw'+q / gw'+q+1 (r > 0), q, r = divmod(m-1, 4) — so
+    OR-ing those end words' masks onto start word gw' marks, per pattern,
+    a word-granular SUPERSET of the true start words; the block fold then
+    ORs 128 words per block (log-halving — no bitwise-or reduce
+    primitive).  Validity is word-granular (word_pos <= n-m keeps any
+    word containing a valid start).  Exactness contract: bit p of block b
+    is set for EVERY true match of pattern p starting in b (superset per
+    pattern); spurious bits cost only verify width downstream."""
+    q, r = divmod(m - 1, 4)
+    E = nibE_ref[:]  # (8, G8, 128) k-bit pattern masks per end word
+    sm = E[:, q : q + W8, :]
+    if r:
+        sm = sm | E[:, q + 1 : q + 1 + W8, :]
+    i = pl.program_id(0)
+    shp = (8, W8, 128)
+    sub = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    gw = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+    word_pos = (i * 128 + lane) * C + sub * (C // 8) + gw * 4
+    nlim = jnp.minimum(n_ref[0], jnp.int32(Nk)) - m
+    sm = jnp.where(word_pos <= nlim, sm, 0)
+    nbs = W8 // 128
+    x = sm.reshape(8, nbs, 128, 128)
+    h = 128
+    while h > 1:
+        h //= 2
+        x = x[:, :, :h, :] | x[:, :, h : 2 * h, :]
+    bs_ref[...] = x.reshape(8, nbs, 128)
+
+
 def _end_to_start_bmask(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
     """Like ``_end_to_start_bsums`` but emits, per 512-byte block, a 16-BIT
     SUB-BLOCK OCCUPANCY MASK (bit g = any candidate start in the block's

@@ -416,6 +416,64 @@ def _screened_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref, nib_ref,
     _epilogue(n_ref, cnt_ref, nib_ref, bs_ref, W, C, m)
 
 
+def _bs_from_counts(cnt_w, bs_ref, cnt_ref, W):
+    """Lite epilogue tail shared by the bsums-only kernel bodies: fold an
+    int32[128, W] per-word count plane into the per-512B block sums and
+    the running total — no nibble plane involved."""
+    jb = W // 128
+    per = jnp.sum(cnt_w.reshape(128, jb, 128), axis=2)  # (128, jb)
+    bs = per.T
+    if jb < 8:
+        bs = jnp.concatenate([bs, jnp.zeros((8 - jb, 128), jnp.int32)],
+                             axis=0)
+    bs_ref[...] = bs
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
+
+
+def _naive_sparse_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref,
+                         bs_ref, ext_ref, *, W, C, m, Mnp):
+    """Naive full verify, bsums-only (round 5): per-word EXACT match
+    counts summed straight from the four alignment compare chains.  The
+    nibble pack, its popcount, and the nib scratch round trip are dead
+    work when the sparse reconstruction consumes only block sums (it
+    re-extracts offsets by re-verifying gathered chunks of the word
+    view) — the same insight as the screen-lite kernel, except here the
+    per-ALIGNMENT tail validity is kept so bs stay exact per-block match
+    counts (alignment a of word at word_pos is valid iff
+    word_pos + a <= n - m, i.e. a < keep — _validity_nibble's algebra
+    without the nibble)."""
+    _stage_ext(x_ref, nxt_ref, ext_ref, W)
+    nw = Mnp.shape[1]
+    accs = []
+    for a in range(4):
+        if nw <= STATIC_NW:
+            acc = _compare_chain(
+                ext_ref[:], a, W, P_ref, M_ref, Mnp
+            ).astype(jnp.int32)
+        else:
+            acc = _loop_chain(ext_ref, a, W, nw, P_ref, M_ref)
+        accs.append(acc)
+
+    i = pl.program_id(0)
+    nlim = n_ref[0] - m
+    tile_last = (i + 1) * (128 * C) - 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+    word_pos = (i * 128 + row) * C + col * 4
+    keep = jnp.clip(nlim - word_pos + 1, 0, 4)
+    cnt_w = jnp.zeros((128, W), jnp.int32)
+    for a in range(4):
+        cnt_w += jnp.where(
+            tile_last > nlim, jnp.where(keep > a, accs[a], 0), accs[a]
+        )
+    _bs_from_counts(cnt_w, bs_ref, cnt_ref, W)
+
+
 def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref,
                         bs_ref, ext_ref, *, W, C, m, Mnp, probes):
     """Boyer-Moore CANDIDATE screen: the probe compares alone, emitted as
@@ -451,20 +509,7 @@ def _screen_cand_kernel(n_ref, P_ref, M_ref, x_ref, nxt_ref, cnt_ref,
     cand = jnp.where(
         tile_last > nlim, jnp.where(word_pos <= nlim, cand, 0), cand
     )
-
-    jb = W // 128
-    per = jnp.sum(cand.reshape(128, jb, 128), axis=2)  # (128, jb)
-    bs = per.T
-    if jb < 8:
-        bs = jnp.concatenate([bs, jnp.zeros((8 - jb, 128), jnp.int32)],
-                             axis=0)
-    bs_ref[...] = bs
-
-    @pl.when(i == 0)
-    def _():
-        cnt_ref[0, 0] = 0
-
-    cnt_ref[0, 0] += jnp.sum(bs, dtype=jnp.int32)
+    _bs_from_counts(cand, bs_ref, cnt_ref, W)
 
 
 def _screened_dyn_kernel(n_ref, P_ref, M_ref, pr_ref, x_ref, nxt_ref, cnt_ref,
@@ -548,7 +593,7 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
         ),
         scratch_shapes=(
             [pltpu.VMEM((128, W + HALO_WORDS), jnp.int32)]
-            if nib_out or mode == "screen_cand"
+            if nib_out or mode in ("screen_cand", "naive")
             else [
                 pltpu.VMEM((128, W + HALO_WORDS), jnp.int32),
                 pltpu.VMEM((128, W), jnp.int32),  # scratch nibble plane
@@ -563,13 +608,18 @@ def _build_call(Nk: int, C: int, m: int, nw: int, mode: str,
                                  Mnp=Mnp, probes=probes)
     elif mode == "screened_dyn":
         kern = functools.partial(_screened_dyn_kernel, W=W, C=C, m=m, Mnp=Mnp)
+    elif not nib_out:
+        # Naive bsums-only: the nib-free exact-count body (lite epilogue).
+        kern = functools.partial(_naive_sparse_kernel, W=W, C=C, m=m,
+                                 Mnp=Mnp)
     else:
         kern = functools.partial(_naive_kernel, W=W, C=C, m=m, Mnp=Mnp)
-    if not nib_out and mode != "screen_cand":
+    if not nib_out and mode not in ("screen_cand", "naive"):
         # Same kernel body; the nibble plane ref is the trailing VMEM
         # scratch rather than an output.  Leading refs: scalar prefetch +
-        # inputs (naive/screened: n,P,M,x,h = 5; screened_dyn adds pr = 6).
-        # (screen_cand has its own nib-free body — refs map directly.)
+        # inputs (screened: n,P,M,x,h = 5; screened_dyn adds pr = 6).
+        # (screen_cand / sparse naive have nib-free bodies — refs map
+        # directly.)
         n_lead = n_scalars + 2
         body = kern
 

@@ -125,17 +125,27 @@ class RabinKarpMultiMatcher:
             config.multi_gather == "groups"
             and _swar.mask_words(m).shape[1] <= 9
         )
+        # Pattern-selected extraction (round 5, default): the kernel
+        # emits k-bit per-block PATTERN-HIT masks and each single-pattern
+        # candidate block verifies against only its flagged pattern —
+        # k-fold less verify ALU than the all-patterns block path.
+        # Holds one pattern per int32 bit, so k <= 31 (larger sets run
+        # the 31-pattern groups of the block path below).
+        use_pselect = (
+            config.multi_gather == "pselect" and k <= 31 and not use_groups
+        )
         if sparse:
             # ONE bsums-only screen pass over all k hashes; the shared
             # candidate-block reconstruction verifies every pattern against
             # the gathered blocks in word space and extracts the union
             # positions + membership payload with one sort-pair
-            # (ops/reconstruct.extract_region_multi[_groups]).
+            # (ops/reconstruct.extract_region_multi[_groups|_pselect]).
             bs, cut = rk_roll.rk_candidate_bsums(
                 text, n, tables_["hashes"], m, base,
                 chunk_bytes=config.pallas_chunk_bytes,
                 interpret=config.interpret, words=x2d,
-                emit=("bmask" if use_groups else "bsums"),
+                emit=("bmask" if use_groups
+                      else "pmask" if use_pselect else "bsums"),
             )
             if bs is None:
                 return None
@@ -163,8 +173,11 @@ class RabinKarpMultiMatcher:
             # in groups of 31 against the same union screen; a candidate
             # belonging to another group simply fails this group's verify.
             GROUP = 31
-            extract_fn = (reconstruct.extract_region_multi_groups
-                          if use_groups else reconstruct.extract_region_multi)
+            extract_fn = (
+                reconstruct.extract_region_multi_groups if use_groups
+                else reconstruct.extract_region_multi_pselect
+                if use_pselect else reconstruct.extract_region_multi
+            )
             parts = [
                 extract_fn(
                     bs, x2d, text, n, patterns[g : g + GROUP],

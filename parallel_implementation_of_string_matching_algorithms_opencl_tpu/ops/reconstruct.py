@@ -431,6 +431,216 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
     return counts, offs, (counts > capacity) | trunc
 
 
+def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
+                                 limit, capacity: int, config):
+    """Pattern-SELECTED multi-pattern extraction — round-5 config-2 rework.
+
+    Same contract as ``extract_region_multi`` but consumes the kernel's
+    k-bit PATTERN-HIT masks (``rk_candidate_bsums(emit='pmask')``): the
+    rolling screen already knows WHICH patterns' hashes hit each block,
+    so a block flagged for at most S=2 patterns verifies against ONLY
+    those — per-row one-hot selection of each flagged pattern's SWAR
+    words (k scalar multiply-adds per (word, alignment) constant, over
+    (cap_b,) vectors) replaces the k full compare chains.  The block
+    path's k*4*nw plane verify (~13.4 G VPU ops at 1 GB / k=8, its
+    measured floor) drops k/S-fold.  S=2 is set by the measured bit
+    distribution at the config-2 profile (1 GB english, k=8: 96.2% of
+    candidate blocks carry one pattern bit, 3.75% two, 0.02% three —
+    a 1-bit-only main path flooded the side plane with the 10k two-bit
+    blocks and blanket-overflowed); blocks flagged for >S patterns take
+    a bounded side plane that runs the full k-chain (exact; past OC the
+    same ok=False -> drain give-up as every sibling).
+
+    Correctness leans on the kernel fold's per-pattern superset contract
+    (kernels/shift_and._end_to_start_pmask): pattern p's true-match
+    blocks ALWAYS carry bit p, so a block's matches can only belong to
+    its flagged patterns.
+    """
+    from . import emit as _emit
+
+    k, m = patterns.shape
+    assert k <= 31, "pmask holds <= 31 patterns per plane"
+    Mnp = swar.mask_words(m)
+    M = jnp.asarray(Mnp)
+    nw = Mnp.shape[1]
+    nb = bmask.shape[0]
+    xblk = x2d.reshape(-1, 128)
+    R8 = xblk.shape[0]
+    nblk = jnp.sum(bmask != 0, dtype=jnp.int32)
+    tiers = sorted({min(t, nb) for t in MULTI_BLOCK_TIERS})
+    # T=2 slots: candidate blocks average ~1.07 matches at the config-2
+    # profile, so rows with >2 union matches are side-plane-rare, and
+    # each slot is a full cap_b column of union-sort keys + slot-decode
+    # work (T=4 measured no extra coverage worth 2 extra columns here).
+    T = 2
+    OC = 2048
+
+    def tier(cap_b: int):
+        bids, sb = extract.sorted_nonzero_pairs(bmask, cap_b, fill=nb)
+        bc = jnp.clip(bids, 0, R8 - 1)
+        win = jnp.concatenate(
+            [xblk[bc], xblk[jnp.clip(bc + 1, 0, R8 - 1)][:, :nw]], axis=1
+        )
+        live = bids < nb
+        pc = _popcount32(sb)
+        inmain = (pc >= 1) & (pc <= 2) & live
+        fs1 = sb & (-sb)  # lowest flagged pattern bit
+        rem = sb & ~fs1
+        fs2 = rem & (-rem)  # second bit (0 for single-bit rows)
+        word_pos = bids[:, None] * 512 + 4 * jnp.arange(
+            128, dtype=jnp.int32)[None, :]
+        main_col = inmain[:, None]
+        pay = []
+        union_nib = jnp.zeros((cap_b, 128), jnp.int32)
+        for a in range(4):
+            plane = jnp.zeros((cap_b, 128), jnp.int32)
+            for fsel in (fs1, fs2):
+                oh = [((fsel >> p) & 1) for p in range(k)]
+                accv = None
+                for kk in range(nw):
+                    if Mnp[a, kk] == 0:
+                        continue
+                    Pk = oh[0] * P_all[0, a, kk]
+                    for p in range(1, k):
+                        Pk = Pk + oh[p] * P_all[p, a, kk]
+                    w = win[:, kk : kk + 128]
+                    eq = (w == Pk[:, None]) if Mnp[a, kk] == -1 else (
+                        (w & M[a, kk]) == Pk[:, None]
+                    )
+                    accv = eq if accv is None else (accv & eq)
+                # fsel == 0 (no second pattern) zeroes the contribution.
+                plane |= accv.astype(jnp.int32) * fsel[:, None]
+            plane = jnp.where(
+                main_col & (word_pos + a <= limit), plane, 0
+            )
+            pay.append(plane)
+            union_nib |= (plane != 0).astype(jnp.int32) << a
+        rc = jnp.sum(extract._popcount4(union_nib), axis=1)
+        pos_base = bids * 512  # fill/side rows: plane already zeroed
+        keys, vals = extract.slot_decode(union_nib, rc, pos_base, T, pay)
+        main_row = inmain & (rc <= T)
+        # zero the slot keys of main rows that overflowed T (they go to
+        # the side plane with the >2-bit rows)
+        keys = jnp.where(main_row[:, None], keys, jnp.int32(extract.INF))
+        vals = jnp.where(main_row[:, None], vals, 0)
+        keys_main = keys.reshape(-1)
+        vals_main = vals.reshape(-1)
+        main_union = jnp.sum(jnp.where(main_row, rc, 0), dtype=jnp.int32)
+        side_row = ((pc > 2) | (inmain & (rc > T))) & live
+        n_side = jnp.sum(side_row, dtype=jnp.int32)
+        ok = n_side <= OC
+
+        def _with_side(oc_rows: int):
+            # Full k-chain verify of the (bounded) side rows — the shared
+            # pay-plane machinery (_pay_planes).  oc_rows is tiered on
+            # n_side: each side row adds 512 sort keys, and the common
+            # post-S=2 side population is tiny (53 three-bit blocks at
+            # the 1 GB config-2 profile) — a fixed 2048-row plane would
+            # put 1M dead keys through the union sort.
+            oids = extract.sorted_nonzero_ids(
+                side_row.astype(jnp.int32), oc_rows, cap_b
+            )
+            oc = jnp.clip(oids, 0, cap_b - 1)
+            ovalid = (oids < cap_b)[:, None]
+            owin = jnp.where(ovalid, win[oc], 0)
+            oblk = jnp.where(oids < cap_b, bids[oc], nb)
+            wp = oblk[:, None] * 512 + 4 * jnp.arange(
+                128, dtype=jnp.int32)[None, :]
+            spay = _pay_planes(owin, wp, P_all, M, Mnp, limit)
+            s_nib = jnp.zeros((oc_rows, 128), jnp.int32)
+            for a in range(4):
+                s_nib |= (spay[a] != 0).astype(jnp.int32) << a
+            okeys, ovals = extract.nib_rows_keys_payload(
+                s_nib, oblk * 512, spay
+            )
+            s_counts = jnp.stack([
+                sum(jnp.sum((spay[a] >> p) & 1, dtype=jnp.int32)
+                    for a in range(4))
+                for p in range(k)
+            ])
+            s_union = jnp.sum(extract._popcount4(s_nib), dtype=jnp.int32)
+            up, uv = _pad_sort_pair(
+                jnp.concatenate([keys_main, okeys.reshape(-1)]),
+                jnp.concatenate([vals_main, ovals.reshape(-1)]),
+                capacity,
+            )
+            return up, uv, s_counts, s_union
+
+        def _no_side():
+            up, uv = _pad_sort_pair(keys_main, vals_main, capacity)
+            return up, uv, jnp.zeros((k,), jnp.int32), jnp.int32(0)
+
+        OC_SMALL = 256
+        upos, uval, side_counts, side_union = jax.lax.switch(
+            (n_side > 0).astype(jnp.int32)
+            + (n_side > OC_SMALL).astype(jnp.int32),
+            [
+                _no_side,
+                functools.partial(_with_side, OC_SMALL),
+                functools.partial(_with_side, OC),
+            ],
+        )
+        del side_counts  # buffer/recount below cover both count paths
+        union_count = main_union + side_union
+
+        def _counts_buffer():
+            # The sorted union buffer holds EVERY union position (it fits
+            # capacity and the side plane fit) — per-pattern counts are k
+            # cheap membership-bit sums over (capacity,) vectors.
+            uvalid = jnp.where(upos != extract.INF, uval, 0)
+            return jnp.stack([
+                jnp.sum((uvalid >> p) & 1, dtype=jnp.int32)
+                for p in range(k)
+            ])
+
+        def _counts_full():
+            # Buffer incomplete (union > capacity, or side overflow):
+            # offsets report truncated, counts MUST stay exact — full
+            # k-chain recount of EVERY gathered row (exact because every
+            # candidate block was gathered: nblk <= cap_b on this tier).
+            wp = (jnp.where(live, bids, nb)[:, None] * 512
+                  + 4 * jnp.arange(128, dtype=jnp.int32)[None, :])
+            planes = _pay_planes(win, wp, P_all, M, Mnp, limit)
+            return jnp.stack([
+                sum(jnp.sum((planes[a] >> p) & 1, dtype=jnp.int32)
+                    for a in range(4))
+                for p in range(k)
+            ])
+
+        counts = jax.lax.cond(
+            ok & (union_count <= capacity), _counts_buffer, _counts_full
+        )
+        offs = []
+        for p in range(k):
+            keyp = jnp.where(
+                ((uval >> p) & 1) == 1, upos, jnp.int32(extract.INF)
+            )
+            sp = jax.lax.sort(keyp)
+            spo = jnp.where(sp == extract.INF, jnp.int32(FILL), sp)
+            offs.append(jnp.where(ok, spo, jnp.int32(FILL)))
+        trunc = (union_count > capacity) | ~ok | (nblk > cap_b)
+        return counts, jnp.stack(offs), jnp.broadcast_to(trunc, (k,))
+
+    def giveup():
+        counts = jnp.stack([
+            _emit._dense_block_count(text_u8, patterns[p], nb, limit)
+            for p in range(k)
+        ])
+        offs = jnp.full((k, capacity), FILL, jnp.int32)
+        return counts, offs, jnp.ones((k,), bool)
+
+    if len(tiers) == 1:
+        counts, offs, trunc = tier(tiers[0])
+    else:
+        branches = [lambda c=c: tier(c) for c in tiers]
+        sel = sum((nblk > t).astype(jnp.int32) for t in tiers[:-1])
+        if nb > tiers[-1]:
+            branches.append(giveup)
+            sel = sel + (nblk > tiers[-1]).astype(jnp.int32)
+        counts, offs, trunc = jax.lax.switch(sel, branches)
+    return counts, offs, (counts > capacity) | trunc
+
+
 def _popcount16(x):
     """Per-element popcount of the low 16 bits of int32 (SWAR with masks —
     arithmetic shifts are fine because every shifted-in sign bit lands on

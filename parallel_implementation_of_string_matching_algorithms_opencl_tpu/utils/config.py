@@ -93,9 +93,21 @@ class MatchConfig:
     # when results ~always fill capacity, or when the extra dispatch
     # round-trip dominates, e.g. tiny texts).
     dist_gather: str = "count_sized"
-    # Multi-pattern candidate extraction granularity.  'blocks' (default)
-    # verifies all 512 positions of every candidate block against all k
-    # patterns.  'groups' (experimental, m <= 33) has the RK union screen
+    # Multi-pattern candidate extraction granularity.
+    # 'pselect' (default, k <= 31): the RK screen emits per-block k-bit
+    # PATTERN-HIT masks (emit='pmask') and each candidate block verifies
+    # against only its <=2 flagged patterns (per-row one-hot selection
+    # of the pattern's SWAR words) — k/2-fold less verify ALU than
+    # 'blocks'.  Measured at the full config-2 profile (1 GB / k=8):
+    # 80 -> 70 ms e2e, exact (exp/pselect_ab.py); the S=2 main-path
+    # width is set by the measured per-block bit distribution (96.2%
+    # one bit, 3.75% two, 0.02% three — a 1-bit main path flooded the
+    # side plane and blanket-overflowed).  >2-bit blocks take a bounded
+    # full-k-chain side plane; k > 31 falls back to 'blocks'.
+    # 'blocks' verifies all 512 positions of every candidate block
+    # against all k patterns (the uniform design — still the fallback
+    # and the >31-pattern path).
+    # 'groups' (experimental, m <= 33) has the RK union screen
     # emit 16-bit sub-block occupancy masks and verifies only each
     # block's occupied 32-byte group (~16x less verify ALU) — but rows
     # whose mask holds >1 group fall to a bounded side plane, and on
@@ -103,9 +115,9 @@ class MatchConfig:
     # config-2 shapes at 256 MiB put ~5k blocks on a 2048-row side plane,
     # blanking offsets to the drain path; and even when the side fits,
     # the mode measured 23.4 vs 21.7 ms e2e).  Kept as a measured
-    # negative: the block design's uniform within-block handling is why
-    # it wins on match-dense multi-pattern inputs.
-    multi_gather: str = "blocks"
+    # negative of within-block granularity splitting; the ACROSS-PATTERN
+    # split ('pselect') is the one that pays.
+    multi_gather: str = "pselect"
 
     def __post_init__(self):
         # The matchers view the padded text as int32 words; a pad target

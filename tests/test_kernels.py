@@ -553,7 +553,7 @@ def test_kmp_long_extract_tier_switch(flood):
     assert rs.offsets_list() == expected
 
 
-@pytest.mark.parametrize("mg", ["blocks", "groups"])
+@pytest.mark.parametrize("mg", ["blocks", "groups", "pselect"])
 def test_rk_multi_gather_modes_parity(mg):
     # Round-5 group-granular multi extraction vs the block path vs the
     # oracle, on a corpus engineered to hit every structural case: two
@@ -582,6 +582,13 @@ def test_rk_multi_gather_modes_parity(mg):
         (512 * 40 + 28, pats[0]),
         (N - 999 - 16, pats[1]),
         (512 * 50 + 64, b"abcdabcdabcd"),
+        # TWO DIFFERENT patterns inside one 512B block: the pselect
+        # mode's multi-bit side-plane trigger (a single-bit block would
+        # verify against the wrong lone pattern if the side routing
+        # broke); also adjacent-block plants inside the end->start word
+        # fold's ambiguity band.
+        (512 * 60 + 5, pats[0]), (512 * 60 + 40, pats[1]),
+        (512 * 61 + 500, pats[2]), (512 * 62 + 2, pats[3]),
     ]
     for pos, p in plants:
         data[pos : pos + len(p)] = p

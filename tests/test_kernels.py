@@ -572,7 +572,12 @@ def test_rk_multi_gather_modes_parity(mg):
     C = 4096
     N = 128 * C + 999
     data = bytearray(gen_english(N, seed=88))
-    pats = [b"QXZRVKWJ", b"ZZQQWWEE", b"abcdabcd", b"the quic"]
+    # pats[4] duplicates pats[0] byte-for-byte: identical hashes mean the
+    # pmask kernel sets BOTH bits on every shared block (pc=2 -> pselect's
+    # two-chain main path verifies the same pattern twice), and the
+    # results for index 0 and 4 must agree with the oracle independently.
+    pats = [b"QXZRVKWJ", b"ZZQQWWEE", b"abcdabcd", b"the quic",
+            b"QXZRVKWJ"]
     plants = [
         (100, pats[0]), (132, pats[0]),
         (512 * 10 + 3, pats[1]), (512 * 10 + 11, pats[1]),

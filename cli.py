@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "prefix-automaton candidate screen + full-m "
                          "verify; ripple: faithful K-word carry-rippled "
                          "automaton, m<=256)")
+    ap.add_argument("--multi-gather", default=None,
+                    choices=["pselect", "blocks", "groups"],
+                    help="multi-pattern candidate extraction (default "
+                         "pselect: each block verifies only its <=2 "
+                         "hash-flagged patterns; blocks: all-pattern "
+                         "verify, also the k>31 fallback; groups: "
+                         "experimental 32-byte-group granularity)")
     ap.add_argument("--drain", action="store_true",
                     help="guarantee ALL offsets even past --capacity "
                          "(windowed re-extraction; all modes incl. "
@@ -101,6 +108,8 @@ def main(argv=None) -> int:
         overrides["bm_probes"] = args.bm_probes
     if args.kmp_long:
         overrides["kmp_long"] = args.kmp_long
+    if args.multi_gather:
+        overrides["multi_gather"] = args.multi_gather
 
     t0 = time.perf_counter()
     if args.stream and args.multihost:

@@ -236,3 +236,86 @@ def test_extract_region_multi_sideplane_giveup_counts_exact():
     assert counts[0] == w0 and counts[1] == w1
     assert np.all(trunc)
     assert np.all(offs == reconstruct.FILL)
+
+
+# -- extract_region tier-selector branches (round-5 single-switch) ---------
+
+
+@pytest.mark.parametrize("branch", ["small", "compact", "plain", "dense"])
+def test_extract_region_tier_selector_branches(branch, monkeypatch):
+    """Every branch of the round-5 single-switch tier ladder — small /
+    wide+compact / wide-plain / dense — produces oracle-exact counts and
+    offsets.  The selector constants are shrunk so each branch is
+    reachable from a 256 KiB corpus: Lr=64 chunks, cap_g=32, SMALL_G=8,
+    compaction budget 2*cap_g=64 rows.  'plain' is the branch no
+    realistic corpus in the suite reaches (many candidate blocks inside
+    few chunks); 'dense' needs ncand > cap_g."""
+    from conformance.oracle import find_all
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import (
+        swar,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.ops import (
+        reconstruct,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+        MatchConfig,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+        gen_english,
+        pad_to_multiple,
+    )
+
+    monkeypatch.setattr(reconstruct, "SMALL_G", 8)
+    monkeypatch.setattr(reconstruct, "SPARSE_CHUNKS_SMALL", 32)
+    monkeypatch.setattr(swar, "MIN_KERNEL_BYTES", 0)
+
+    n = 64 * 4096  # Lr = 64 4KiB chunks
+    pat = b"QZXWVKYJ"
+    m = len(pat)
+    data = bytearray(gen_english(n, seed=777))
+    # chunk c, block b (0..7) -> byte c*4096 + b*512 + small offset
+    plants = {
+        # <= 8 candidate chunks
+        "small": [(c, 0) for c in range(5)],
+        # 20 chunks (> SMALL_G=8), one block each: nblk=20 <= 64
+        "compact": [(c, 0) for c in range(3, 23)],
+        # 20 chunks x 8 blocks = 160 blocks > 64, ncand=20 <= cap_g=32
+        "plain": [(c, b) for c in range(10, 30) for b in range(8)],
+        # 40 chunks > cap_g=32 -> dense escalation
+        "dense": [(c, 0) for c in range(5, 45)],
+    }[branch]
+    for c, b in plants:
+        pos = c * 4096 + b * 512 + 17 + (c % 3)
+        data[pos : pos + m] = pat
+    text = bytes(data)
+    want = find_all(text, pat)
+    assert want, branch
+
+    cfg = MatchConfig(interpret=True, pallas_chunk_bytes=512,
+                      capacity=4096, pad_multiple=1024)
+    tn = pad_to_multiple(np.frombuffer(text, np.uint8), 4096)
+    P, _ = swar.pattern_words(np.frombuffer(pat, np.uint8))
+    x2d = jnp.asarray(tn.view(np.int32).reshape(-1, 1024))
+    td = jnp.asarray(tn)
+
+    # exact bs (naive) AND candidate bs (BM probe screen) through the
+    # same selector
+    nib, bs_n, cut = swar.naive_nib(
+        td, n, jnp.asarray(P), m, chunk_bytes=512, interpret=True,
+        words=x2d, emit_nib=False)
+    pr = swar.probe_table(np.frombuffer(pat, np.uint8), use_gs=True)
+    probes = swar.static_probes_from_table(pr)
+    _, bs_s, cut_s = swar.screened_nib(
+        td, n, jnp.asarray(P), m, chunk_bytes=512, interpret=True,
+        words=x2d, static_probes=probes, emit_nib=False, screen_only=True)
+    assert cut == cut_s
+    limit = min(n - m, cut - 1)
+    kept = [o for o in want if o <= limit]
+    for bs in (bs_n, bs_s):
+        count, offs, ovf = reconstruct.extract_region(
+            bs, x2d, td, jnp.int32(n), jnp.asarray(P), m, limit,
+            cfg.capacity, cfg)
+        offs = np.asarray(offs)
+        assert int(count) == len(kept), branch
+        assert [int(x) for x in offs[offs >= 0]] == kept, branch
+        assert not bool(ovf), branch

@@ -587,13 +587,17 @@ def test_rk_multi_gather_modes_parity(mg):
         (512 * 40 + 28, pats[0]),
         (N - 999 - 16, pats[1]),
         (512 * 50 + 64, b"abcdabcdabcd"),
-        # TWO DIFFERENT patterns inside one 512B block: the pselect
-        # mode's multi-bit side-plane trigger (a single-bit block would
-        # verify against the wrong lone pattern if the side routing
-        # broke); also adjacent-block plants inside the end->start word
-        # fold's ambiguity band.
+        # TWO DIFFERENT patterns inside one 512B block: pselect's S=2
+        # two-chain main path (a single-bit block would verify against
+        # the wrong lone pattern if the bit routing broke); also
+        # adjacent-block plants inside the end->start word fold's
+        # ambiguity band.
         (512 * 60 + 5, pats[0]), (512 * 60 + 40, pats[1]),
         (512 * 61 + 500, pats[2]), (512 * 62 + 2, pats[3]),
+        # THREE different patterns in one block: pc=3 > S exercises
+        # pselect's full-k-chain side plane.
+        (512 * 70 + 3, pats[0]), (512 * 70 + 100, pats[1]),
+        (512 * 70 + 300, pats[2]),
     ]
     for pos, p in plants:
         data[pos : pos + len(p)] = p

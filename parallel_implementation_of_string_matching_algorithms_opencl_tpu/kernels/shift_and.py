@@ -161,6 +161,22 @@ def _end_to_start_bsums(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
     bs_ref[...] = per
 
 
+def _start_word_grid(n_ref, *, m, W8, C, Nk):
+    """(word_pos, nlim) for the (8, W8, 128) start-word plane of this grid
+    step: element [s, g', lane] covers byte (i*128+lane)*C + s*(C/8) +
+    4*g'; nlim = the last valid start.  THE shared validity grid for
+    every end->start fold — a clamp fix here cannot drift per fold
+    (the _pay_planes doctrine)."""
+    i = pl.program_id(0)
+    shp = (8, W8, 128)
+    sub = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    gw = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+    word_pos = (i * 128 + lane) * C + sub * (C // 8) + gw * 4
+    nlim = jnp.minimum(n_ref[0], jnp.int32(Nk)) - m
+    return word_pos, nlim
+
+
 def _fold_start_nibbles(n_ref, nibE_ref, *, m, W8, C, Nk):
     """Shared end->start fold + validity clamp: returns the START-position
     nibble plane (8, W8, 128) (see ``_end_to_start_bsums`` docstring)."""
@@ -172,13 +188,7 @@ def _fold_start_nibbles(n_ref, nibE_ref, *, m, W8, C, Nk):
     else:
         hi = E[:, q + 1 : q + 1 + W8, :]
         sn = ((lo >> r) | (hi << (4 - r))) & 0xF
-    i = pl.program_id(0)
-    shp = (8, W8, 128)
-    sub = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
-    gw = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
-    word_pos = (i * 128 + lane) * C + sub * (C // 8) + gw * 4
-    nlim = jnp.minimum(n_ref[0], jnp.int32(Nk)) - m
+    word_pos, nlim = _start_word_grid(n_ref, m=m, W8=W8, C=C, Nk=Nk)
     keep = jnp.clip(nlim - word_pos + 1, 0, 4)
     return sn & ((1 << keep) - 1)
 
@@ -200,13 +210,7 @@ def _end_to_start_pmask(n_ref, nibE_ref, bs_ref, *, m, W8, C, Nk):
     sm = E[:, q : q + W8, :]
     if r:
         sm = sm | E[:, q + 1 : q + 1 + W8, :]
-    i = pl.program_id(0)
-    shp = (8, W8, 128)
-    sub = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
-    gw = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
-    word_pos = (i * 128 + lane) * C + sub * (C // 8) + gw * 4
-    nlim = jnp.minimum(n_ref[0], jnp.int32(Nk)) - m
+    word_pos, nlim = _start_word_grid(n_ref, m=m, W8=W8, C=C, Nk=Nk)
     sm = jnp.where(word_pos <= nlim, sm, 0)
     nbs = W8 // 128
     x = sm.reshape(8, nbs, 128, 128)

@@ -216,24 +216,27 @@ def extract_region(bs, x2d, text_u8, n, P, m, limit, capacity: int,
     # conds each measured as another ~0.3 ms (exp/recon_compact.py), the
     # difference that left e2e slower than round 4 despite 2.2-2.7x
     # faster components.
-    if Lr > SMALL_G:
+    if Lr > cap_g:
         branches = [
             functools.partial(sparse_w, SMALL_G, SMALL_OVERFLOW_ROWS, False),
             functools.partial(sparse_w, cap_g, SPARSE_OVERFLOW_ROWS, True),
             sparse,
+            dense,  # reachable: ncand can exceed cap_g
         ]
         sel = jnp.where(
             ncand <= SMALL_G,
             0,
             jnp.where(nblk <= 2 * cap_g, 1, 2),
         )
-        if Lr > cap_g:  # dense reachable only when ncand can exceed cap_g
-            branches.append(dense)
-            sel = jnp.where(ncand > cap_g, 3, sel)
+        sel = jnp.where(ncand > cap_g, 3, sel)
         count, offs, ok = jax.lax.switch(sel, branches, None)
     else:
-        # Tiny region (Lr <= SMALL_G): every chunk fits one sparse gather
-        # (cap_g = Lr) — no tiering, no dispatch.
+        # Small region (Lr <= cap_g, i.e. texts small enough that one
+        # sparse gather covers every chunk): single zero-dispatch call —
+        # the tier machinery exists for LARGE texts' sparse profiles,
+        # and here the gather width already equals Lr (round-5 review:
+        # the first cut tiered this band too, paying switch dispatch +
+        # extra branch compiles on 2-16 MiB texts for nothing).
         count, offs, ok = sparse(None)
     return count, offs, (count > capacity) | ~ok
 
@@ -455,6 +458,15 @@ def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
     (kernels/shift_and._end_to_start_pmask): pattern p's true-match
     blocks ALWAYS carry bit p, so a block's matches can only belong to
     its flagged patterns.
+
+    Inputs whose >2-bit block population exceeds the side budget (e.g.
+    >= 3 hash-equal or systematically co-occurring patterns at scale —
+    duplicates are supported) fall back WHOLESALE to the blocks path via
+    a top-level cond: extract_region_multi is value-agnostic on its bs
+    plane (nonzero-ness only), so it consumes the pmask directly.
+    Without this, such inputs blanket-blanked every offset that the
+    blocks path handled inline (round-5 review finding, covered by
+    tests/test_extract.py::test_pselect_many_multibit_blocks_fallback).
     """
     from . import emit as _emit
 
@@ -468,11 +480,12 @@ def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
     R8 = xblk.shape[0]
     nblk = jnp.sum(bmask != 0, dtype=jnp.int32)
     tiers = sorted({min(t, nb) for t in MULTI_BLOCK_TIERS})
-    # T=2 slots: candidate blocks average ~1.07 matches at the config-2
-    # profile, so rows with >2 union matches are side-plane-rare, and
-    # each slot is a full cap_b column of union-sort keys + slot-decode
-    # work (T=4 measured no extra coverage worth 2 extra columns here).
-    T = 2
+    # T=4 union slots per row (like the blocks path): T=2 measured a
+    # perf wash at the config-2 profile, and the larger T halves the
+    # side-plane pressure from single/double-bit rows holding 3-4
+    # matches (the side must hold EVERY non-main row — its matches back
+    # the exact count path — so side headroom is robustness).
+    T = 4
     OC = 2048
 
     def tier(cap_b: int):
@@ -553,25 +566,20 @@ def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
             okeys, ovals = extract.nib_rows_keys_payload(
                 s_nib, oblk * 512, spay
             )
-            s_counts = jnp.stack([
-                sum(jnp.sum((spay[a] >> p) & 1, dtype=jnp.int32)
-                    for a in range(4))
-                for p in range(k)
-            ])
             s_union = jnp.sum(extract._popcount4(s_nib), dtype=jnp.int32)
             up, uv = _pad_sort_pair(
                 jnp.concatenate([keys_main, okeys.reshape(-1)]),
                 jnp.concatenate([vals_main, ovals.reshape(-1)]),
                 capacity,
             )
-            return up, uv, s_counts, s_union
+            return up, uv, s_union
 
         def _no_side():
             up, uv = _pad_sort_pair(keys_main, vals_main, capacity)
-            return up, uv, jnp.zeros((k,), jnp.int32), jnp.int32(0)
+            return up, uv, jnp.int32(0)
 
         OC_SMALL = 256
-        upos, uval, side_counts, side_union = jax.lax.switch(
+        upos, uval, side_union = jax.lax.switch(
             (n_side > 0).astype(jnp.int32)
             + (n_side > OC_SMALL).astype(jnp.int32),
             [
@@ -580,7 +588,6 @@ def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
                 functools.partial(_with_side, OC),
             ],
         )
-        del side_counts  # buffer/recount below cover both count paths
         union_count = main_union + side_union
 
         def _counts_buffer():
@@ -629,16 +636,31 @@ def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
         offs = jnp.full((k, capacity), FILL, jnp.int32)
         return counts, offs, jnp.ones((k,), bool)
 
-    if len(tiers) == 1:
-        counts, offs, trunc = tier(tiers[0])
-    else:
-        branches = [lambda c=c: tier(c) for c in tiers]
-        sel = sum((nblk > t).astype(jnp.int32) for t in tiers[:-1])
-        if nb > tiers[-1]:
-            branches.append(giveup)
-            sel = sel + (nblk > tiers[-1]).astype(jnp.int32)
-        counts, offs, trunc = jax.lax.switch(sel, branches)
-    return counts, offs, (counts > capacity) | trunc
+    def _pselect_tiers(_):
+        if len(tiers) == 1:
+            counts, offs, trunc = tier(tiers[0])
+        else:
+            branches = [lambda c=c: tier(c) for c in tiers]
+            sel = sum((nblk > t).astype(jnp.int32) for t in tiers[:-1])
+            if nb > tiers[-1]:
+                branches.append(giveup)
+                sel = sel + (nblk > tiers[-1]).astype(jnp.int32)
+            counts, offs, trunc = jax.lax.switch(sel, branches)
+        return counts, offs, (counts > capacity) | trunc
+
+    def _blocks_fallback(_):
+        # >OC multi-bit blocks: every one of them would land on the side
+        # plane and blanket-blank the offsets — run the uniform all-k
+        # block verify instead (it reads only nonzero-ness off bs, so
+        # the pmask plane feeds it directly).
+        return extract_region_multi(
+            bmask, x2d, text_u8, n, patterns, P_all, limit, capacity,
+            config,
+        )
+
+    nmulti = jnp.sum(_popcount32(bmask) > 2, dtype=jnp.int32)
+    return jax.lax.cond(nmulti <= OC, _pselect_tiers, _blocks_fallback,
+                        operand=None)
 
 
 def _popcount16(x):

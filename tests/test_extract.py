@@ -319,3 +319,49 @@ def test_extract_region_tier_selector_branches(branch, monkeypatch):
         assert int(count) == len(kept), branch
         assert [int(x) for x in offs[offs >= 0]] == kept, branch
         assert not bool(ovf), branch
+
+
+@pytest.mark.slow
+def test_pselect_many_multibit_blocks_fallback():
+    """Round-5 review regression: >OC (2048) candidate blocks whose
+    pattern mask holds >2 bits (here: one pattern tripled, so EVERY one
+    of its blocks carries bits {0,1,2}) must NOT blanket-blank offsets —
+    the top-level cond in extract_region_multi_pselect falls back to the
+    blocks path, which handles them inline and exactly."""
+    from conformance.oracle import find_all
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import (
+        swar,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.multi import (
+        RabinKarpMultiMatcher,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+        MatchConfig,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+        gen_english,
+    )
+
+    C = 4096
+    n = 128 * C * 4  # 4096 candidate-block slots
+    data = bytearray(gen_english(n, seed=4242))
+    p = b"QZXWVKYJMRTN"
+    q = b"ABLKWQPZTRVU"
+    for b in range(2500):  # 2500 distinct 512B blocks > OC=2048
+        pos = b * 512 + 7
+        data[pos : pos + len(p)] = p
+    data[512 * 3000 + 5 : 512 * 3000 + 5 + len(q)] = q
+    text = bytes(data)
+    pats = [p, p, p, q]
+    cfg = MatchConfig(interpret=True, pallas_chunk_bytes=C,
+                      capacity=8192, verify_capacity=8192,
+                      pad_multiple=4096, multi_gather="pselect")
+    import unittest.mock as _mock
+
+    with _mock.patch.object(swar, "MIN_KERNEL_BYTES", 0):
+        rs = RabinKarpMultiMatcher(pats, cfg).match(text)
+    for pat, r in zip(pats, rs):
+        want = find_all(text, pat)
+        assert r.count == len(want), (pat, r.count, len(want))
+        assert r.offsets_list() == want, pat
+        assert not r.overflow, pat

@@ -365,3 +365,49 @@ def test_pselect_many_multibit_blocks_fallback():
         assert r.count == len(want), (pat, r.count, len(want))
         assert r.offsets_list() == want, pat
         assert not r.overflow, pat
+
+
+@pytest.mark.slow
+def test_pselect_k31_bit_boundary():
+    """k=31 uses pattern bit 30 (the highest the pmask plane allows);
+    the bit-30 pattern's matches must survive the fs/popcount/payload
+    bit arithmetic (sign bit is never used, but 1<<30 is the edge)."""
+    from conformance.oracle import find_all
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.kernels import (
+        swar,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.models.multi import (
+        RabinKarpMultiMatcher,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.config import (
+        MatchConfig,
+    )
+    from parallel_implementation_of_string_matching_algorithms_opencl_tpu.utils.io import (
+        gen_english,
+    )
+
+    C = 4096
+    n = 128 * C + 777
+    data = bytearray(gen_english(n, seed=31))
+    pats = [bytes(gen_english(12, seed=3100 + i)) for i in range(31)]
+    # plant the FIRST (bit 0) and LAST (bit 30) patterns, plus both in
+    # one block (pc=2 two-chain main path at the bit boundary)
+    data[100 : 112] = pats[0]
+    data[512 * 9 + 5 : 512 * 9 + 17] = pats[30]
+    data[512 * 20 + 3 : 512 * 20 + 15] = pats[0]
+    data[512 * 20 + 60 : 512 * 20 + 72] = pats[30]
+    text = bytes(data)
+    cfg = MatchConfig(interpret=True, pallas_chunk_bytes=C,
+                      capacity=4096, verify_capacity=4096,
+                      pad_multiple=4096, multi_gather="pselect")
+    import unittest.mock as _mock
+
+    with _mock.patch.object(swar, "MIN_KERNEL_BYTES", 0):
+        rs = RabinKarpMultiMatcher(pats, cfg).match(text)
+    hits = 0
+    for pat, r in zip(pats, rs):
+        want = find_all(text, pat)
+        hits += len(want)
+        assert r.count == len(want), pat
+        assert r.offsets_list() == want, pat
+    assert hits >= 4

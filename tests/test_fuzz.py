@@ -165,3 +165,38 @@ def test_stream_drain_fuzz(seed, tmp_path):
     assert r.count == len(want), (algo, cap, chunk)
     assert r.offsets_list() == want, (algo, cap, chunk)
     assert not r.overflow
+
+
+@pytest.mark.parametrize("alphabet", ["binary", "english"])
+@pytest.mark.parametrize("mg", ["blocks", "groups", "pselect"])
+def test_fuzz_multi_pattern_kernels(alphabet, mg):
+    """Multi-pattern kernel fuzz over every multi_gather mode: k patterns
+    drawn FROM the text (clustered occurrences on repetitive corpora give
+    natural same-block co-occupancy — the pselect side / fallback
+    terrain), plus adversarial same-block and seam plants."""
+    rng = np.random.default_rng(hash((alphabet, mg)) % 10_000)
+    n, m, k = 70_000, 12, 6
+    text = bytearray(GENERATORS[alphabet](n, seed=int(rng.integers(1e6))))
+    pats = []
+    for i in range(k):
+        p0 = int(rng.integers(0, n - m))
+        pats.append(bytes(text[p0 : p0 + m]))
+    # same-block cross-pattern plants + seam plants
+    text[512 * 3 + 1 : 512 * 3 + 1 + m] = pats[0]
+    text[512 * 3 + 40 : 512 * 3 + 40 + m] = pats[1]
+    text[512 * 3 + 90 : 512 * 3 + 90 + m] = pats[2]
+    text[0:m] = pats[3]
+    text[n - m :] = pats[4]
+    text = bytes(text)
+    cfg = KERNEL_CFG.replace(multi_gather=mg)
+    rs = match(text, pats, algo="rabin_karp", config=cfg)
+    for p, r in zip(pats, rs):
+        want = find_all(text, p)
+        assert r.count == len(want), (mg, p)
+        got = r.offsets_list()
+        if r.overflow:
+            # bounded give-up is allowed; offsets must then be a clean
+            # ascending prefix of the truth (or blanked), never garbage
+            assert got == want[: len(got)], (mg, p)
+        else:
+            assert got == want, (mg, p)

@@ -316,11 +316,16 @@ def config2(scale):
     cap = _cap(2e-4 * n)  # corpus-drawn 16-byte patterns: ~1.5e-4 matches/B
     cfg = MatchConfig(capacity=cap, verify_capacity=cap)
     mm = RabinKarpMultiMatcher(pats, cfg)
-    runner = mm._runner(cfg, mm.k)
     # Tile-multiple padding (2 MiB covers every kernel's grid tile) keeps
     # the jnp-scanned tail at ~m-1 bytes — matcher.match() pads the same
     # way; staged runners must match it or eat a ~0.5 MB tail per call.
     text_np = pad_to_multiple(np.frombuffer(text, np.uint8), 2 << 20)
+    # The runner match() itself uses: the UNION-emission fast path when
+    # eligible (device skips the k per-pattern capacity sorts; the host
+    # splits the sorted union per pattern), else the stacked runner.
+    union = mm._union_eligible(len(text_np))
+    runner = (mm._runner_union(cfg, mm.k) if union
+              else mm._runner(cfg, mm.k))
     text_dev, words_dev, h2d = _stage(text_np)
     pat_dev = jnp.asarray(mm.pattern_arr)
     tb_dev = jax.tree.map(jnp.asarray, mm.tables)
@@ -352,12 +357,21 @@ def config2(scale):
         jax.jit(scan_runner), text_dev, words_dev, n, pat_dev, tb_dev
     )
     counts = [int(c) for c in np.asarray(out[0])]
-    offs = np.asarray(out[1])
     ok = True
-    for p_i, p in enumerate(pats):
-        want = find_all(text, p)
-        o = offs[p_i]
-        ok &= counts[p_i] == len(want) and [int(x) for x in o[o >= 0]] == want
+    if union:
+        results = mm._assemble_union(out, n, len(text_np))
+        for p_i, p in enumerate(pats):
+            want = find_all(text, p)
+            r = results[p_i]
+            ok &= r.count == len(want) and r.offsets_list() == want \
+                and not r.overflow
+    else:
+        offs = np.asarray(out[1])
+        for p_i, p in enumerate(pats):
+            want = find_all(text, p)
+            o = offs[p_i]
+            ok &= (counts[p_i] == len(want)
+                   and [int(x) for x in o[o >= 0]] == want)
     emit(
         {
             "config": 2,
@@ -369,6 +383,7 @@ def config2(scale):
             "extract_wall_s": wall - scan_wall,
             "h2d_s": h2d,
             "match_counts": counts,
+            "emission_path": "union" if union else "stacked",
             "exact_parity": bool(ok),
         }
     )

@@ -91,8 +91,63 @@ class RabinKarpMultiMatcher:
             cls._jit_cache[key] = fn
         return fn
 
+    @classmethod
+    def _runner_union(cls, config: MatchConfig, k: int):
+        """Union-emission runner (single-device fast path): returns
+        (counts[k], upos[capacity], uval[capacity], overflows[k],
+        tail_offsets[k, cap2]) — the k per-pattern capacity-sized
+        compaction sorts are SKIPPED on device; ``match`` splits the
+        sorted union per pattern on the host (an order-preserving np
+        compress, microseconds) and rebases the tail.  Only ``match``
+        uses this; the distributed/streaming paths keep ``_runner``'s
+        stacked contract their collectives and journals consume."""
+        key = (cls, config, k, "union")
+        fn = cls._jit_cache.get(key)
+        if fn is None:
+
+            def run(text, words, n, patterns, tables_):
+                out = cls._multi_direct(
+                    text, words, n, patterns, tables_, config,
+                    emit="union",
+                )
+                assert out is not None, (
+                    "_runner_union called outside its eligibility "
+                    "envelope (see _union_eligible)"
+                )
+                return out
+
+            fn = jax.jit(run)
+            cls._jit_cache[key] = fn
+        return fn
+
+    def _union_eligible(self, padded_len: int) -> bool:
+        """True when the union-emission fast path will engage: mirrors
+        _multi_direct's kernel-path preconditions (sparse emission, a
+        pmask/bsums-capable mode, kernel-eligible sizes) exactly, so the
+        union runner's direct path cannot come back None."""
+        from ..kernels import rk_roll
+        from ..kernels import swar as _swar
+        from .algorithms import _pallas_backend_ok
+
+        cfg = self.config
+        if cfg.emission != "sparse" or self.k > 31:
+            return False
+        if cfg.multi_gather == "groups" and \
+                _swar.mask_words(self.m).shape[1] <= 9:
+            return False  # groups mode has no union emission
+        if not (rk_roll.rk_roll_supported(self.m)
+                and _pallas_backend_ok(cfg)):
+            return False
+        C = cfg.pallas_chunk_bytes
+        if C % 4096:
+            return False
+        tile = 128 * C
+        Nk = (padded_len // tile) * tile
+        return Nk >= max(tile, _swar.MIN_KERNEL_BYTES)
+
     @staticmethod
-    def _multi_direct(text, words, n, patterns, tables_, config: MatchConfig):
+    def _multi_direct(text, words, n, patterns, tables_, config: MatchConfig,
+                      emit: str = "stacked"):
         """Stacked (counts, offsets, overflows) via the kernel screen.
 
         ONE rolling-hash kernel pass compares against all k pattern hashes
@@ -178,6 +233,33 @@ class RabinKarpMultiMatcher:
                 else reconstruct.extract_region_multi_pselect
                 if use_pselect else reconstruct.extract_region_multi
             )
+            if emit == "union":
+                assert k <= GROUP and not use_groups, \
+                    "union emission holds one 31-pattern group"
+                counts_u, upos, uval, vs1 = extract_fn(
+                    bs, x2d, text, n, patterns, tables_["swar_ps"],
+                    limit_k, config.capacity, config, emit_union=True,
+                )
+                cap2 = min(config.capacity, int(tail_masks.shape[1]))
+                if tail_masks.shape[1] == 0:
+                    return (counts_u, upos, uval, vs1,
+                            jnp.zeros((k, 0), jnp.int32))
+                t_counts, t_offs, t_vs = [], [], []
+                for p in range(k):
+                    tail_valid = _emit.valid_start_mask(
+                        tail_masks[p], n - cut, m
+                    )
+                    if tail_masks.shape[1] <= (1 << 21):
+                        c2, o2, v2 = _emit.mask_to_matches_sorted(
+                            tail_valid, cap2
+                        )
+                    else:
+                        c2, o2, v2 = _emit.mask_to_matches(tail_valid, cap2)
+                    t_counts.append(c2)
+                    t_offs.append(o2)
+                    t_vs.append(v2)
+                return (counts_u + jnp.stack(t_counts), upos, uval,
+                        vs1 | jnp.stack(t_vs), jnp.stack(t_offs))
             parts = [
                 extract_fn(
                     bs, x2d, text, n, patterns[g : g + GROUP],
@@ -246,20 +328,26 @@ class RabinKarpMultiMatcher:
         padded = pad_to_multiple(
             arr, int(np.lcm(self.config.pad_multiple, 4096))
         )
+        args = (
+            jnp.asarray(padded),
+            jnp.asarray(padded.view(np.int32).reshape(-1, 1024)),
+            jnp.int32(n),
+            jnp.asarray(self.pattern_arr),
+            self.tables,
+        )
+        aot_on = (
+            n >= _swar.MIN_KERNEL_BYTES
+            and jax.default_backend() not in ("cpu",)
+            and not self.config.interpret
+        )
+        if self._union_eligible(len(padded)):
+            return self._assemble_union(
+                aot.call(self._runner_union(self.config, self.k), args,
+                         enabled=aot_on),
+                n, len(padded),
+            )
         counts, offsets, overflows = aot.call(
-            self._runner(self.config, self.k),
-            (
-                jnp.asarray(padded),
-                jnp.asarray(padded.view(np.int32).reshape(-1, 1024)),
-                jnp.int32(n),
-                jnp.asarray(self.pattern_arr),
-                self.tables,
-            ),
-            enabled=(
-                n >= _swar.MIN_KERNEL_BYTES
-                and jax.default_backend() not in ("cpu",)
-                and not self.config.interpret
-            ),
+            self._runner(self.config, self.k), args, enabled=aot_on
         )
         counts = np.asarray(counts)
         offsets = np.asarray(offsets)
@@ -269,6 +357,42 @@ class RabinKarpMultiMatcher:
             c = int(counts[p])
             kept = min(c, self.config.capacity)
             offs = valid_prefix(offsets[p][:kept])
+            out.append(
+                MatchResult(
+                    algo=self.name,
+                    pattern=self.patterns[p],
+                    n=n,
+                    count=c,
+                    offsets=offs,
+                    overflow=bool(overflows[p]) or len(offs) < c,
+                )
+            )
+        return out
+
+    def _assemble_union(self, dev_out, n: int, padded_len: int):
+        """Host-side per-pattern split of the union-emission result:
+        ``upos`` is ascending with membership bits in ``uval`` (zeroed on
+        fill slots), so each pattern's region offsets are one np compress
+        — order-preserving, no device sorts; the tiny tail buffers rebase
+        by the kernel coverage cut."""
+        counts, upos, uval, overflows, tail_offs = (
+            np.asarray(a) for a in dev_out
+        )
+        C = self.config.pallas_chunk_bytes
+        tile = 128 * C
+        Nk = (padded_len // tile) * tile
+        cut = Nk - (self.m - 1) if self.m > 1 else Nk
+        out = []
+        for p in range(self.k):
+            c = int(counts[p])
+            if bool(overflows[p]):
+                offs = np.empty((0,), np.int64)
+            else:
+                sel = upos[((uval >> p) & 1) == 1].astype(np.int64)
+                t = tail_offs[p]
+                offs = np.concatenate(
+                    [sel, t[t >= 0].astype(np.int64) + cut]
+                )
             out.append(
                 MatchResult(
                     algo=self.name,

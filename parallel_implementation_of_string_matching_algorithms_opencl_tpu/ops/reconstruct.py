@@ -292,9 +292,18 @@ MULTI_BLOCK_TIERS = (16384, 131072, 327680, 524288)
 
 
 def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
-                         capacity: int, config):
+                         capacity: int, config, emit_union: bool = False):
     """Stacked (counts[k], offsets[k, capacity], overflows[k]) from ONE
     union candidate-block-sums plane (the k-hash rolling screen).
+
+    ``emit_union=True`` returns (counts[k], upos[capacity],
+    uval[capacity], overflows[k]) instead: the ascending union positions
+    with per-position k-bit membership, SKIPPING the k per-pattern
+    capacity-sized compaction sorts — the single-device caller splits
+    per pattern on the host (order-preserving np compress), which is
+    where those sorts' only consumer lives.  uval is zeroed on INF/fill
+    slots.  The distributed/streaming callers keep the stacked form
+    their collectives consume.
 
     Candidate 512-byte blocks are gathered once and verified against all k
     patterns in word space; per-(word, alignment) membership packs into
@@ -375,18 +384,20 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
 
         upos, uval = jax.lax.cond(n_rel == 0, _no_side, _with_side)
         offs = []
-        for p in range(k):
-            keyp = jnp.where(
-                ((uval >> p) & 1) == 1, upos, jnp.int32(extract.INF)
-            )
-            sp = jax.lax.sort(keyp)
-            spo = jnp.where(sp == extract.INF, jnp.int32(FILL), sp)
-            # ~ok (side-plane overflow) loses rows beyond OC entirely —
-            # a sorted compaction would hide the mid-stream gaps, so
-            # blank the buffer (mirrors extract_region's give-up path;
-            # valid_prefix/drain consumers then see all-FILL, not a
-            # clean-looking gapped prefix).
-            offs.append(jnp.where(ok, spo, jnp.int32(FILL)))
+        if not emit_union:
+            for p in range(k):
+                keyp = jnp.where(
+                    ((uval >> p) & 1) == 1, upos, jnp.int32(extract.INF)
+                )
+                sp = jax.lax.sort(keyp)
+                spo = jnp.where(sp == extract.INF, jnp.int32(FILL), sp)
+                # ~ok (side-plane overflow) loses rows beyond OC
+                # entirely — a sorted compaction would hide the
+                # mid-stream gaps, so blank the buffer (mirrors
+                # extract_region's give-up path; valid_prefix/drain
+                # consumers then see all-FILL, not a clean-looking
+                # gapped prefix).
+                offs.append(jnp.where(ok, spo, jnp.int32(FILL)))
         # Per-pattern counts: from the sorted union buffer when it holds
         # every union position (the common case — one cheap pass), else an
         # exact recount over the payload planes (cond keeps the ~8 ms
@@ -409,6 +420,9 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
             ]),
         )
         trunc = (union_count > capacity) | ~ok | (nblk > cap_b)
+        if emit_union:
+            return (counts, upos, jnp.where(ok, uvalid, 0),
+                    jnp.broadcast_to(trunc, (k,)))
         return counts, jnp.stack(offs), jnp.broadcast_to(trunc, (k,))
 
     def giveup():
@@ -419,23 +433,31 @@ def extract_region_multi(bs, x2d, text_u8, n, patterns, P_all, limit,
             _emit._dense_block_count(text_u8, patterns[p], nb, limit)
             for p in range(k)
         ])
+        if emit_union:
+            return (counts, jnp.full((capacity,), extract.INF, jnp.int32),
+                    jnp.zeros((capacity,), jnp.int32), jnp.ones((k,), bool))
         offs = jnp.full((k, capacity), FILL, jnp.int32)
         return counts, offs, jnp.ones((k,), bool)
 
     if len(tiers) == 1:
-        counts, offs, trunc = tier(tiers[0])
+        out = tier(tiers[0])
     else:
         branches = [lambda c=c: tier(c) for c in tiers]
         sel = sum((nblk > t).astype(jnp.int32) for t in tiers[:-1])
         if nb > tiers[-1]:
             branches.append(giveup)
             sel = sel + (nblk > tiers[-1]).astype(jnp.int32)
-        counts, offs, trunc = jax.lax.switch(sel, branches)
+        out = jax.lax.switch(sel, branches)
+    if emit_union:
+        counts, upos, uval, trunc = out
+        return counts, upos, uval, (counts > capacity) | trunc
+    counts, offs, trunc = out
     return counts, offs, (counts > capacity) | trunc
 
 
 def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
-                                 limit, capacity: int, config):
+                                 limit, capacity: int, config,
+                                 emit_union: bool = False):
     """Pattern-SELECTED multi-pattern extraction — round-5 config-2 rework.
 
     Same contract as ``extract_region_multi`` but consumes the kernel's
@@ -617,6 +639,10 @@ def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
         counts = jax.lax.cond(
             ok & (union_count <= capacity), _counts_buffer, _counts_full
         )
+        trunc = (union_count > capacity) | ~ok | (nblk > cap_b)
+        if emit_union:
+            uvalid = jnp.where((upos != extract.INF) & ok, uval, 0)
+            return counts, upos, uvalid, jnp.broadcast_to(trunc, (k,))
         offs = []
         for p in range(k):
             keyp = jnp.where(
@@ -625,7 +651,6 @@ def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
             sp = jax.lax.sort(keyp)
             spo = jnp.where(sp == extract.INF, jnp.int32(FILL), sp)
             offs.append(jnp.where(ok, spo, jnp.int32(FILL)))
-        trunc = (union_count > capacity) | ~ok | (nblk > cap_b)
         return counts, jnp.stack(offs), jnp.broadcast_to(trunc, (k,))
 
     def giveup():
@@ -633,19 +658,26 @@ def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
             _emit._dense_block_count(text_u8, patterns[p], nb, limit)
             for p in range(k)
         ])
+        if emit_union:
+            return (counts, jnp.full((capacity,), extract.INF, jnp.int32),
+                    jnp.zeros((capacity,), jnp.int32), jnp.ones((k,), bool))
         offs = jnp.full((k, capacity), FILL, jnp.int32)
         return counts, offs, jnp.ones((k,), bool)
 
     def _pselect_tiers(_):
         if len(tiers) == 1:
-            counts, offs, trunc = tier(tiers[0])
+            out = tier(tiers[0])
         else:
             branches = [lambda c=c: tier(c) for c in tiers]
             sel = sum((nblk > t).astype(jnp.int32) for t in tiers[:-1])
             if nb > tiers[-1]:
                 branches.append(giveup)
                 sel = sel + (nblk > tiers[-1]).astype(jnp.int32)
-            counts, offs, trunc = jax.lax.switch(sel, branches)
+            out = jax.lax.switch(sel, branches)
+        if emit_union:
+            counts, upos, uval, trunc = out
+            return counts, upos, uval, (counts > capacity) | trunc
+        counts, offs, trunc = out
         return counts, offs, (counts > capacity) | trunc
 
     def _blocks_fallback(_):
@@ -655,7 +687,7 @@ def extract_region_multi_pselect(bmask, x2d, text_u8, n, patterns, P_all,
         # the pmask plane feeds it directly).
         return extract_region_multi(
             bmask, x2d, text_u8, n, patterns, P_all, limit, capacity,
-            config,
+            config, emit_union=emit_union,
         )
 
     nmulti = jnp.sum(_popcount32(bmask) > 2, dtype=jnp.int32)

@@ -47,7 +47,9 @@ capacity 2^19 — BENCH_MATRIX.json config-2 row with scan/extract split):
   PATTERN-SELECTED path (`multi_gather='pselect'`, now the default)
   broke that floor: the kernel's 'pmask' emission tells extraction WHICH
   <=2 patterns to verify per block, cutting the verify k/2-fold —
-  config-2 e2e 80 -> 70 ms (12.5 -> 14.2 GB/s), exact
+  config-2 e2e 80 -> 70 ms, then the union-emission host
+  split (per-pattern sorts off the device) -> 66 ms (12.5 -> 15.1
+  GB/s), exact
   (exp/pselect_ab.py; stage deltas exp/pselect_breakdown.py: scan 45.4,
   rank 4.2, gather 5.7, 2-chain verify 10.2, sorts+side+counts 9.7,
   tail epilogue 2.8).  The SCAN is now ~64% of the config-2 wall.
